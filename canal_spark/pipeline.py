@@ -1,0 +1,138 @@
+"""Batch replay pipeline: event log → LakeTable (the flagship "query").
+
+One call answers the reference's core question — *what is the final tokens
+array for every doc_id after replaying the log?* — by composing the stages
+SURVEY.md §2 maps from the reference:
+
+  read segments (local binlog source analog, LocalBinLogConnection)
+    → envelope filter (AviaterRegexFilter / DML flags) — pushed to the scan
+    → LSN ordering column (Header gtid/file/offset)
+    → DDL plan: split the log into sub-ranges at DDL positions
+      (EventTransactionBuffer forces non-DML flush before DDL)
+    → per range: explode to per-key changes (SingleDml.dml2SingleDmls)
+      → LWW collapse (serial pk-hash executors analog, one shuffle)
+      → bucket-pruned MERGE commit (RdbSyncService insert/update/delete
+        + BatchExecutor batch-commit, as ONE atomic snapshot)
+    → between ranges: SchemaTracker mirrors the DDL
+      (RdbMirrorDbSyncService.executeDdl).
+
+Everything data-sized is DataFrame-declarative (Catalyst plans it); only the
+DDL list (a handful of rows) is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.lsn import encode_lsn_col
+from canal_spark.operators.filters import envelope_filter
+from canal_spark.operators.lww import changes_from_events, collapse_lww
+from canal_spark.schema.tracker import SchemaTracker
+from canal_spark.table.lake import LakeTable
+
+
+@dataclass
+class ReplayStats:
+    ranges: int = 0
+    ddls: int = 0
+    merges: list[dict] = field(default_factory=list)
+
+
+def read_event_log(spark: SparkSession, log_dir: str,
+                   files: list[str] | None = None) -> DataFrame:
+    """Read binlog segments. mergeSchema unions before/after struct fields
+    across segments written before/after ALTERs (parquet-native schema
+    evolution — the reason the fixture widens per segment)."""
+    if files:
+        paths = [os.path.join(log_dir, f) for f in files]
+    else:
+        paths = [log_dir]
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "mysql-bin.*.parquet")
+        .parquet(*paths)
+    )
+
+
+def with_lsn(df: DataFrame) -> DataFrame:
+    return df.withColumn("lsn", encode_lsn_col())
+
+
+def apply_dml_range(events: DataFrame, table: LakeTable,
+                    lo: str | None, hi: str | None,
+                    batch_id: str | None = None,
+                    salt_partitions: int | None = None) -> dict:
+    """LWW-collapse + MERGE the DML events with lo < lsn ≤ hi."""
+    rng = events
+    if lo:
+        rng = rng.where(F.col("lsn") > lo)
+    if hi:
+        rng = rng.where(F.col("lsn") <= hi)
+    data_cols = table.logical_columns()
+    available = {f.name for f in events.schema["after"].dataType.fields}
+    # columns added by DDL exist in the sink but may not exist in any
+    # segment read so far; fill them with NULLs of the sink's type
+    rng_cols = [c for c in data_cols if c in available]
+    changes = changes_from_events(rng, key=table.key_col, data_cols=rng_cols)
+    for c in data_cols:
+        if c not in changes.columns:
+            changes = changes.withColumn(
+                c, F.lit(None).cast(table.schema()[c].dataType)
+            )
+    net = collapse_lww(changes, key=table.key_col,
+                       salt_partitions=salt_partitions)
+    max_lsn = hi
+    return table.merge_apply(net, batch_id=batch_id, max_lsn=max_lsn)
+
+
+def replay(spark: SparkSession, log_dir: str, table: LakeTable,
+           files: list[str] | None = None,
+           table_regex: str = r"^train\.tokseq$",
+           batch_id: str | None = None,
+           salt_partitions: int | None = None) -> ReplayStats:
+    """Replay a (portion of the) event log into the sink table."""
+    stats = ReplayStats()
+    if batch_id is not None and table.is_applied(batch_id):
+        return stats
+
+    raw = read_event_log(spark, log_dir, files)
+    ev = with_lsn(envelope_filter(raw, table_regex=table_regex, drop_query=False))
+    ev = ev.where(F.col("entry_type") == "ROWDATA")
+
+    # DDL plan (tiny by construction — driver-side, like the reference's
+    # single-threaded DDL path in LogEventConvert.parseQueryEvent)
+    ddls = sorted(
+        (r["lsn"], r["sql"])
+        for r in ev.where(F.col("is_ddl")).select("lsn", "sql").collect()
+    )
+    dml = ev.where(~F.col("is_ddl"))
+
+    tracker = SchemaTracker(table)
+    lo: str | None = None
+    for i, (ddl_lsn, sql) in enumerate(ddls):
+        res = apply_dml_range(
+            dml, table, lo, ddl_lsn,
+            batch_id=None if batch_id is None else f"{batch_id}/r{i}",
+            salt_partitions=salt_partitions,
+        )
+        stats.merges.append(res)
+        stats.ranges += 1
+        tracker.apply_ddl(sql, ddl_lsn)
+        stats.ddls += 1
+        lo = ddl_lsn
+    res = apply_dml_range(
+        dml, table, lo, None,
+        batch_id=None if batch_id is None else f"{batch_id}/tail",
+        salt_partitions=salt_partitions,
+    )
+    stats.merges.append(res)
+    stats.ranges += 1
+    if batch_id is not None:
+        table._commit_meta(
+            applied_batches=table.snap["applied_batches"][-255:] + [batch_id]
+        )
+    return stats

@@ -1,0 +1,60 @@
+"""SchemaTracker — the versioned live schema registry.
+
+Replaces the reference's TableMetaTSDB: Canal replays every DDL into an AST
+schema repository (MemoryTableMeta.apply/find,
+parse/.../tsdb/MemoryTableMeta.java:68-138) and can roll the registry back to
+any binlog position via snapshot+history
+(parse/.../tsdb/DatabaseTableMeta.java:161-181, 390-460).
+
+Here the tracker folds DDL events (in LSN order) into the active column list
+AND mirrors each one onto the LakeTable sink as a metadata-only commit
+(RdbMirrorDbSyncService.executeDdl analog,
+client-adapter/rdb/.../RdbMirrorDbSyncService.java:50-90). The LakeTable's
+own snapshot history *is* the durable TSDB: every DDL lands as a table
+version, and ``last_ddl_lsn`` in the snapshot fences replayed/duplicate DDL
+(idempotence under at-least-once delivery).
+"""
+
+from __future__ import annotations
+
+from canal_spark.schema.ddl import DdlCommand, parse_ddl
+from canal_spark.table.lake import LakeTable
+
+
+class SchemaTracker:
+    def __init__(self, table: LakeTable, subscribed: tuple[str, str] = ("train", "tokseq")):
+        self.table = table
+        self.subscribed = subscribed
+
+    def active_columns(self) -> list[str]:
+        return self.table.logical_columns()
+
+    def last_ddl_lsn(self) -> str:
+        return self.table.snap.get("last_ddl_lsn", "")
+
+    def apply_ddl(self, sql: str, lsn: str) -> DdlCommand:
+        """Apply one DDL at LSN to the sink (idempotent: replays are fenced
+        by last_ddl_lsn, unknown/no-op statements are skipped)."""
+        cmd = parse_ddl(sql)
+        if cmd.kind == "IGNORE":
+            return cmd
+        if cmd.table is not None and (
+            (cmd.schema or self.subscribed[0]), cmd.table
+        ) != self.subscribed:
+            return DdlCommand(kind="IGNORE", sql=sql)
+        if lsn <= self.last_ddl_lsn():
+            return DdlCommand(kind="IGNORE", sql=sql)
+
+        if cmd.kind == "ADD_COLUMN":
+            self.table.alter_add_column(cmd.column, cmd.dtype)
+        elif cmd.kind == "RENAME_COLUMN":
+            if cmd.column in self.table.logical_columns():
+                self.table.alter_rename_column(cmd.column, cmd.new_name)
+        elif cmd.kind == "DROP_COLUMN":
+            if cmd.column in self.table.logical_columns():
+                self.table.alter_drop_column(cmd.column)
+        elif cmd.kind == "TRUNCATE":
+            self.table.truncate()
+        # fence the LSN in the same snapshot lineage
+        self.table._commit_meta(last_ddl_lsn=lsn)
+        return cmd

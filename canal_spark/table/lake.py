@@ -1,0 +1,424 @@
+"""LakeTable — an Iceberg-style snapshot table over parquet.
+
+The sandbox ships no Iceberg/Delta runtime jar, so the sink's table format is
+implemented here with the same semantics the engine would get from
+``MERGE INTO`` on an Iceberg v2 table:
+
+- **Atomic snapshot commits**: every change (merge / DDL / truncate) writes
+  new immutable data files plus a new ``metadata/v{N}.json`` manifest, then
+  atomically swings the ``metadata/_current`` pointer (os.replace). Readers
+  resolve the pointer first, so half-written commits are invisible and
+  crash-safe (Iceberg's metadata-pointer swap).
+- **Bucket partitioning**: data files are assigned by
+  ``pmod(xxhash64(key), n_buckets)`` — Iceberg's ``bucket(N, doc_id)``
+  transform. MERGE reads and rewrites ONLY buckets containing changed keys
+  (manifest-level partition pruning), the property that keeps copy-on-write
+  viable at 10^10-event scale.
+- **Name-mapped schema evolution**: the manifest stores logical→physical
+  column mappings, so ADD/RENAME/DROP COLUMN are metadata-only commits (no
+  data rewrite) — Iceberg field-id semantics via a name map.
+- **Tombstones**: DELETE writes a ``_deleted=true`` row carrying the delete
+  LSN instead of physically dropping the key, so late/duplicate events for a
+  deleted key are fenced by the LSN guard (Iceberg MoR delete-file analog).
+  ``compact()`` purges tombstones when they are no longer needed.
+- **Exactly-once ledger**: the manifest records recently applied batch ids;
+  re-delivery of a whole micro-batch is a metadata no-op. This replaces the
+  reference's at-least-once get/ack/rollback protocol
+  (server/.../CanalServerWithEmbedded.java:350-490) with table-level
+  exactly-once.
+
+Single-writer by design (the streaming driver owns the table), matching the
+reference's one-consumer-per-instance model (CanalServerWithEmbedded.java
+one-outstanding-batch invariant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SYS_COLS = ["_source_lsn", "_deleted"]
+LEDGER_KEEP = 256
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Iceberg bucket(N, key) analog: positive xxhash64 mod N (JVM-side)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """A bucketed snapshot table with MERGE/DDL/time-travel semantics."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+        self.snap = self._load_current()
+
+    # ------------------------------------------------------------- creation
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, schema: T.StructType,
+               key_col: str = "doc_id", n_buckets: int = 16,
+               df: DataFrame | None = None) -> "LakeTable":
+        """Create the table; optionally seed it with an initial full load
+        (the reference's ETL import, client-adapter/rdb/.../RdbEtlService.java:30-60)."""
+        path = os.path.abspath(path)
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=False)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        snap = {
+            "version": 0,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            # columns: list of {name (logical), physical, type (spark ddl)}
+            "columns": [
+                {"name": f.name, "physical": f.name, "type": f.dataType.json()}
+                for f in schema.fields
+            ],
+            "files": {},              # bucket(str) -> [relative file names]
+            "applied_batches": [],
+            "watermark_lsn": "",
+            "parent": None,
+        }
+        tbl = object.__new__(cls)
+        tbl.spark, tbl.path = spark, path
+        tbl.meta_dir = os.path.join(path, "metadata")
+        tbl.data_dir = os.path.join(path, "data")
+        tbl.snap = snap
+        tbl._write_snapshot(snap)
+        if df is not None:
+            tbl.overwrite(df)
+        return tbl
+
+    # ---------------------------------------------------------- snapshot io
+    def _write_snapshot(self, snap: dict) -> None:
+        v = snap["version"]
+        p = os.path.join(self.meta_dir, f"v{v:06d}.json")
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        cur_tmp = os.path.join(self.meta_dir, f"_current.tmp-{uuid.uuid4().hex[:8]}")
+        with open(cur_tmp, "w") as f:
+            f.write(f"v{v:06d}.json")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(self.meta_dir, "_current"))
+        self.snap = snap
+
+    def _load_current(self) -> dict:
+        with open(os.path.join(self.meta_dir, "_current")) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.meta_dir, name)) as f:
+            return json.load(f)
+
+    def refresh(self) -> "LakeTable":
+        self.snap = self._load_current()
+        return self
+
+    def load_version(self, version: int) -> dict:
+        """Time travel: load an arbitrary committed snapshot."""
+        with open(os.path.join(self.meta_dir, f"v{version:06d}.json")) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------- schema
+    @property
+    def key_col(self) -> str:
+        return self.snap["key_col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snap["n_buckets"]
+
+    @property
+    def version(self) -> int:
+        return self.snap["version"]
+
+    def logical_columns(self) -> list[str]:
+        return [c["name"] for c in self.snap["columns"]]
+
+    def _physical_schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.snap
+        fields = [
+            T.StructField(c["physical"], _type_from_json(c["type"]), True)
+            for c in snap["columns"]
+        ]
+        fields.append(T.StructField("_source_lsn", T.StringType(), True))
+        fields.append(T.StructField("_deleted", T.BooleanType(), True))
+        return T.StructType(fields)
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c["name"], _type_from_json(c["type"]), True)
+             for c in self.snap["columns"]]
+        )
+
+    # --------------------------------------------------------------- reads
+    def _all_files(self, snap: dict) -> list[str]:
+        return [f for fl in snap["files"].values() for f in fl]
+
+    def read_raw(self, buckets: list[int] | None = None,
+                 version: int | None = None) -> DataFrame:
+        """Physical rows (incl. tombstones + system cols), logical names."""
+        snap = self.snap if version is None else self.load_version(version)
+        if buckets is None:
+            names = self._all_files(snap)
+        else:
+            names = [f for b in buckets for f in snap["files"].get(str(b), [])]
+        phys = self._physical_schema(snap)
+        if not names:
+            return self.spark.createDataFrame([], phys).select(
+                *self._logical_select(snap)
+            )
+        paths = [os.path.join(self.data_dir, n) for n in names]
+        df = self.spark.read.schema(phys).parquet(*paths)
+        return df.select(*self._logical_select(snap))
+
+    def _logical_select(self, snap: dict):
+        sel = [F.col(c["physical"]).alias(c["name"]) for c in snap["columns"]]
+        sel += [F.col(c) for c in SYS_COLS]
+        return sel
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Live rows, logical schema (what a consumer queries)."""
+        cols = (self.snap if version is None else self.load_version(version))["columns"]
+        return (
+            self.read_raw(version=version)
+            .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .select(*[c["name"] for c in cols])
+        )
+
+    # -------------------------------------------------------------- writes
+    def _write_data(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+        """Write df (physical names + sys cols + _b) bucket-partitioned;
+        move files into data/ and return bucket -> new file names."""
+        staging = os.path.join(self.path, f"_staging-v{version:06d}-{uuid.uuid4().hex[:8]}")
+        key_phys = self._phys(self.key_col)
+        sort_cols = ["_b"] + ([key_phys] if key_phys in df.columns else [])
+        (
+            df.repartition(self.n_buckets, "_b")
+            .sortWithinPartitions(*sort_cols)
+            .write.partitionBy("_b").mode("overwrite").parquet(staging)
+        )
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("_b="):
+                continue
+            b = entry.split("=", 1)[1]
+            seq = 0
+            for fn in sorted(os.listdir(os.path.join(staging, entry))):
+                if not fn.endswith(".parquet"):
+                    continue
+                new = f"b{int(b):05d}-v{version:06d}-{seq:04d}-{uuid.uuid4().hex[:8]}.parquet"
+                os.replace(os.path.join(staging, entry, fn),
+                           os.path.join(self.data_dir, new))
+                out.setdefault(b, []).append(new)
+                seq += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
+        for c in SYS_COLS:
+            sel.append(
+                F.col(c) if c in df.columns
+                else (F.lit(False) if c == "_deleted" else F.lit("")).alias(c)
+            )
+        return df.select(*sel)
+
+    def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:
+        """Full replace (initial load / backfill). df has logical columns."""
+        key_phys = self._phys(self.key_col)
+        pdf = self._to_physical(df).withColumn(
+            "_b", bucket_expr(key_phys, self.n_buckets)
+        )
+        version = self.snap["version"] + 1
+        files = self._write_data(pdf, version)
+        snap = dict(self.snap)
+        snap.update(version=version, files=files, parent=self.snap["version"])
+        if batch_id is not None:
+            snap["applied_batches"] = _ledger_add(snap["applied_batches"], batch_id)
+        self._write_snapshot(snap)
+
+    def _phys(self, logical: str) -> str:
+        for c in self.snap["columns"]:
+            if c["name"] == logical:
+                return c["physical"]
+        raise KeyError(logical)
+
+    # --------------------------------------------------------------- MERGE
+    def is_applied(self, batch_id: str) -> bool:
+        return batch_id in self.snap["applied_batches"]
+
+    def merge_apply(self, changes: DataFrame, batch_id: str | None = None,
+                    max_lsn: str | None = None) -> dict:
+        """Apply net-effect changes: the Iceberg ``MERGE INTO`` equivalent.
+
+        ``changes`` columns: key + logical data columns + ``op`` ('U' upsert
+        / 'D' delete) + ``lsn`` (sortable string). One row per key (callers
+        run the LWW collapse first, operators/lww.py).
+
+        Semantics per key (RdbSyncService insert/update/delete analog):
+        - op='U' & key absent  → INSERT (WHEN NOT MATCHED)
+        - op='U' & key present → UPDATE if lsn > current _source_lsn
+        - op='D'               → tombstone if lsn > current _source_lsn
+        The LSN guard makes replays and duplicate deliveries no-ops
+        (idempotent MERGE on (doc_id, source_lsn) — BASELINE.json).
+        """
+        if batch_id is not None and self.is_applied(batch_id):
+            return {"skipped": True, "version": self.snap["version"],
+                    "buckets": 0, "upserts": 0, "deletes": 0}
+
+        key = self.key_col
+        data_cols = self.logical_columns()
+        # prefix change columns so the full-outer join is unambiguous
+        chg = changes.select(
+            *[F.col(c).alias(f"_c_{c}") for c in data_cols],
+            F.col("op").alias("_c_op"),
+            F.col("lsn").alias("_c_lsn"),
+            bucket_expr(key, self.n_buckets).alias("_b"),
+        )
+        chg.persist()
+        try:
+            touched = sorted(
+                r["_b"] for r in chg.select("_b").distinct().collect()
+            )
+            n_up = chg.where(F.col("_c_op") == "U").count()
+            n_del = chg.where(F.col("_c_op") == "D").count()
+
+            tgt = self.read_raw(buckets=touched).drop("_b")
+            ckey = F.col(f"_c_{key}")
+            # One scan, one join: full-outer MERGE with an LSN fence —
+            # a change wins only if strictly newer than the stored row
+            # (idempotent under replay/duplicate delivery).
+            j = tgt.join(chg, tgt[key] == ckey, "full_outer")
+            win = ckey.isNotNull() & (
+                F.col("_source_lsn").isNull() | (F.col("_c_lsn") > F.col("_source_lsn"))
+            )
+            out = j.select(
+                *[
+                    F.when(
+                        win,
+                        ckey if c == key
+                        else F.when(F.col("_c_op") == "U", F.col(f"_c_{c}")),
+                    ).otherwise(F.col(c)).alias(c)
+                    for c in data_cols
+                ],
+                F.when(win, F.col("_c_lsn"))
+                .otherwise(F.col("_source_lsn")).alias("_source_lsn"),
+                F.when(win, F.col("_c_op") == "D")
+                .otherwise(F.coalesce(F.col("_deleted"), F.lit(False)))
+                .alias("_deleted"),
+            ).where(F.col(key).isNotNull())
+            # back to physical names for the files
+            sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
+            out_p = out.select(*sel, "_source_lsn", "_deleted").withColumn(
+                "_b", bucket_expr(self._phys(key), self.n_buckets)
+            )
+
+            version = self.snap["version"] + 1
+            new_files = self._write_data(out_p, version)
+            files = dict(self.snap["files"])
+            for b in touched:
+                files[str(b)] = new_files.get(str(b), [])
+            snap = dict(self.snap)
+            snap.update(version=version, files=files, parent=self.snap["version"])
+            if batch_id is not None:
+                snap["applied_batches"] = _ledger_add(
+                    snap["applied_batches"], batch_id)
+            if max_lsn:
+                snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), max_lsn)
+            self._write_snapshot(snap)
+            return {"skipped": False, "version": version,
+                    "buckets": len(touched), "upserts": n_up, "deletes": n_del}
+        finally:
+            changes.unpersist()
+
+    # ----------------------------------------------------------------- DDL
+    def _commit_meta(self, **updates) -> None:
+        snap = dict(self.snap)
+        snap["version"] = self.snap["version"] + 1
+        snap["parent"] = self.snap["version"]
+        snap.update(updates)
+        self._write_snapshot(snap)
+
+    def alter_add_column(self, name: str, dtype: T.DataType) -> None:
+        if name in self.logical_columns():
+            return
+        cols = list(self.snap["columns"])
+        cols.append({"name": name, "physical": f"{name}_{uuid.uuid4().hex[:6]}",
+                     "type": dtype.json()})
+        self._commit_meta(columns=cols)
+
+    def alter_rename_column(self, old: str, new: str) -> None:
+        cols = [dict(c) for c in self.snap["columns"]]
+        for c in cols:
+            if c["name"] == old:
+                c["name"] = new
+        self._commit_meta(columns=cols)
+
+    def alter_drop_column(self, name: str) -> None:
+        cols = [c for c in self.snap["columns"] if c["name"] != name]
+        self._commit_meta(columns=cols)
+
+    def truncate(self) -> None:
+        """Metadata-only truncate (RdbSyncService.truncate analog,
+        client-adapter/rdb/.../RdbSyncService.java:392-400)."""
+        self._commit_meta(files={})
+
+    # ------------------------------------------------------- maintenance
+    def compact(self, buckets: list[int] | None = None) -> None:
+        """Rewrite buckets dropping tombstones (snapshot-expire analog).
+        Only safe once no replays can deliver events older than the
+        tombstone LSNs (i.e. past the checkpointed watermark)."""
+        buckets = buckets if buckets is not None else list(range(self.n_buckets))
+        live = (
+            self.read_raw(buckets=buckets)
+            .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .withColumn("_b", bucket_expr(self.key_col, self.n_buckets))
+        )
+        sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
+        out = live.select(*sel, "_source_lsn", "_deleted", "_b")
+        version = self.snap["version"] + 1
+        new_files = self._write_data(out, version)
+        files = dict(self.snap["files"])
+        for b in buckets:
+            files[str(b)] = new_files.get(str(b), [])
+        self._commit_meta(files=files, version=version)
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Delete data files referenced only by expired snapshots."""
+        versions = sorted(
+            int(f[1:7]) for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:])
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._all_files(self.load_version(v)))
+        removed = 0
+        for fn in os.listdir(self.data_dir):
+            if fn.endswith(".parquet") and fn not in referenced:
+                os.remove(os.path.join(self.data_dir, fn))
+                removed += 1
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self.meta_dir, f"v{v:06d}.json"))
+        return removed
+
+
+def _ledger_add(ledger: list[str], batch_id: str) -> list[str]:
+    out = list(ledger) + [batch_id]
+    return out[-LEDGER_KEEP:]
+
+
+def _type_from_json(j: str) -> T.DataType:
+    return T._parse_datatype_json_string(j)

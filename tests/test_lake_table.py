@@ -1,0 +1,153 @@
+"""LakeTable semantics: atomic snapshots, MERGE, DDL, idempotence."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from canal_spark.table.lake import LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def _mk(spark, path, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return LakeTable.create(spark, path, SCHEMA, n_buckets=4, df=df)
+
+
+def _chg(spark, rows):
+    schema = T.StructType(SCHEMA.fields + [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+BASE = [
+    ("a", [1, 2], 2, "web"),
+    ("b", [3], 1, "web"),
+    ("c", [4, 5, 6], 3, "books"),
+]
+
+
+def test_create_read_roundtrip(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["c"]["tokens"] == [4, 5, 6]
+    assert t.version == 1
+
+
+def test_merge_upsert_delete(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    ch = _chg(spark, [
+        ("a", [9, 9], 2, "code", "U", "lsn-002"),   # update
+        ("b", None, None, None, "D", "lsn-003"),     # delete
+        ("d", [7], 1, "wiki", "U", "lsn-004"),       # insert
+    ])
+    res = t.merge_apply(ch, batch_id="b1")
+    assert not res["skipped"] and res["upserts"] == 2 and res["deletes"] == 1
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert set(got) == {"a", "c", "d"}
+    assert got["a"]["tokens"] == [9, 9] and got["a"]["source"] == "code"
+
+    # batch ledger: re-applying the same batch id is a metadata no-op
+    v = t.version
+    res2 = t.merge_apply(ch, batch_id="b1")
+    assert res2["skipped"] and t.version == v
+
+    # LSN fence: stale duplicate (lower lsn) must not regress values,
+    # and must not resurrect the deleted key
+    stale = _chg(spark, [
+        ("a", [1, 2], 2, "web", "U", "lsn-001"),
+        ("b", [3], 1, "web", "U", "lsn-001"),
+    ])
+    t.merge_apply(stale, batch_id="b2")
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["tokens"] == [9, 9]
+    assert "b" not in got
+
+
+def test_bucket_pruning_rewrites_only_touched(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    before = dict(t.snap["files"])
+    ch = _chg(spark, [("a", [8], 1, "web", "U", "lsn-9")])
+    res = t.merge_apply(ch)
+    assert res["buckets"] == 1
+    after = t.snap["files"]
+    changed = [b for b in after if after[b] != before.get(b, [])]
+    assert len(changed) == 1
+
+
+def test_ddl_metadata_only_and_time_travel(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    v1 = t.version
+    files_v1 = dict(t.snap["files"])
+    t.alter_add_column("lang", T.StringType())
+    assert t.logical_columns() == ["doc_id", "tokens", "n_tok", "source", "lang"]
+    assert t.snap["files"] == files_v1  # no data rewrite
+    # old rows read back with NULL lang
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["lang"] is None
+
+    t.alter_rename_column("source", "src")
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["src"] == "web"  # physical column mapped, not rewritten
+
+    t.alter_drop_column("lang")
+    assert "lang" not in t.logical_columns()
+
+    # time travel: old version still readable with old schema
+    old = t.read(version=v1).collect()
+    assert {r["doc_id"] for r in old} == {"a", "b", "c"}
+    assert "source" in t.read(version=v1).columns
+
+    t.truncate()
+    assert t.read().count() == 0
+
+
+def test_merge_after_add_column(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    t.alter_add_column("lang", T.StringType())
+    schema = T.StructType(SCHEMA.fields + [
+        T.StructField("lang", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.StringType()),
+    ])
+    ch = spark.createDataFrame(
+        [("a", [5], 1, "web", "en", "U", "lsn-5"),
+         ("e", [6], 1, "web", "de", "U", "lsn-6")], schema)
+    t.merge_apply(ch)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["lang"] == "en" and got["e"]["lang"] == "de"
+    assert got["b"]["lang"] is None
+
+
+def test_crash_safety_stale_files_invisible(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    # simulate a crashed commit: orphan data file not in any snapshot
+    orphan = os.path.join(t.data_dir, "b00000-v999999-0000-deadbeef.parquet")
+    spark.createDataFrame([("zz", [0], 1, "web")], SCHEMA).withColumn(
+        "_source_lsn", F.lit("x")).withColumn("_deleted", F.lit(False)) \
+        .coalesce(1).write.mode("overwrite").parquet(orphan + ".dir")
+    # table reads only manifest-listed files — orphan invisible
+    assert {r["doc_id"] for r in t.read().collect()} == {"a", "b", "c"}
+
+
+def test_compact_and_expire(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    t.merge_apply(_chg(spark, [("b", None, None, None, "D", "lsn-2")]))
+    raw = t.read_raw().collect()
+    assert any(r["_deleted"] for r in raw)  # tombstone present
+    t.compact()
+    raw = t.read_raw().collect()
+    assert not any(r["_deleted"] for r in raw)
+    assert {r["doc_id"] for r in t.read().collect()} == {"a", "c"}
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert {r["doc_id"] for r in t.read().collect()} == {"a", "c"}

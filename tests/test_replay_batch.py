@@ -1,0 +1,137 @@
+"""End-to-end batch replay vs the sequential-apply oracle.
+
+The flagship correctness gate (BASELINE.json): after replaying the synthetic
+binlog, the engine's table equals the oracle row-for-row with exact
+token-array equality per doc_id.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from canal_spark.fixtures import CdcLogSpec, generate_base_table, generate_cdc_log
+from canal_spark.fixtures.generator import duplicate_tail
+from canal_spark.oracle import oracle_final_state
+from canal_spark.pipeline import replay
+from canal_spark.table.lake import LakeTable
+from tests.conftest import assert_state_equal, rows_to_state
+
+TOKSEQ_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def _setup(spark, tmp_work, spec: CdcLogSpec, n_base=300):
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(
+        base.to_pandas(), TOKSEQ_SCHEMA
+    )
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    return base, log_dir, table
+
+
+def _check(spark, table, base, log_dir):
+    expected, cols = oracle_final_state(base, log_dir)
+    actual = rows_to_state(table.read().collect(), table.logical_columns())
+    assert table.logical_columns() == cols
+    assert_state_equal(actual, expected, cols)
+
+
+def test_replay_plain(spark, tmp_work):
+    spec = CdcLogSpec(n_events=3000, seed=11, events_per_file=1000,
+                      other_table_frac=0.05, pk_change_frac=0.05)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    stats = replay(spark, log_dir, table, batch_id="full")
+    assert stats.ranges == 1 and stats.ddls == 0
+    _check(spark, table, base, log_dir)
+
+
+def test_replay_with_skew_and_salt(spark, tmp_work):
+    spec = CdcLogSpec(n_events=3000, seed=12, hot_keys=4, hot_frac=0.6,
+                      op_mix=(0.2, 0.75, 0.05))
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, salt_partitions=8)
+    _check(spark, table, base, log_dir)
+
+
+def test_replay_with_ddl_schema_evolution(spark, tmp_work):
+    ddl = [
+        (500, "ALTER TABLE train.tokseq ADD COLUMN lang varchar"),
+        (1200, "ALTER TABLE train.tokseq RENAME COLUMN source TO src"),
+        (1800, "CREATE INDEX idx1 ON train.tokseq (doc_id)"),  # must be ignored
+        (2200, "ALTER TABLE train.tokseq DROP COLUMN lang"),
+    ]
+    spec = CdcLogSpec(n_events=3000, seed=13, events_per_file=800,
+                      ddl_script=ddl, pk_change_frac=0.03)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    stats = replay(spark, log_dir, table, batch_id="full")
+    assert stats.ddls == 4
+    assert table.logical_columns() == ["doc_id", "tokens", "n_tok", "src"]
+    _check(spark, table, base, log_dir)
+
+
+def test_replay_with_truncate(spark, tmp_work):
+    ddl = [(1000, "TRUNCATE TABLE train.tokseq")]
+    spec = CdcLogSpec(n_events=2000, seed=14, ddl_script=ddl)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table)
+    _check(spark, table, base, log_dir)
+
+
+def test_replay_duplicate_delivery_idempotent(spark, tmp_work):
+    """At-least-once: re-delivered segments must be no-ops (idempotent MERGE
+    keyed (doc_id, _source_lsn) — the exactly-once requirement)."""
+    spec = CdcLogSpec(n_events=2000, seed=15, events_per_file=500)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="first")
+    state_before = rows_to_state(table.read().collect(), table.logical_columns())
+
+    # duplicate the last 2 segments under new names and replay ONLY them
+    dups = duplicate_tail(log_dir, n_files=2)
+    replay(spark, log_dir, table, files=dups, batch_id="dup-delivery")
+    state_after = rows_to_state(table.read().collect(), table.logical_columns())
+    assert state_before == state_after
+
+    # and the full-log oracle still matches (dup events are idempotent there too)
+    _check(spark, table, base, log_dir)
+
+
+def test_replay_whole_batch_replay_is_noop(spark, tmp_work):
+    spec = CdcLogSpec(n_events=1000, seed=16)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0")
+    v = table.version
+    stats = replay(spark, log_dir, table, batch_id="b0")  # ledger hit
+    assert stats.ranges == 0 and table.version == v
+    # replay WITHOUT ledger id: LSN fence alone must keep state identical
+    replay(spark, log_dir, table)
+    _check(spark, table, base, log_dir)
+
+
+@pytest.mark.parametrize("variant", ["maxby", "window"])
+def test_lww_collapse_variants_agree(spark, tmp_work, variant):
+    from canal_spark.operators.lww import (changes_from_events, collapse_lww,
+                                           collapse_lww_window)
+    from canal_spark.pipeline import read_event_log, with_lsn
+
+    spec = CdcLogSpec(n_events=1500, seed=17, pk_change_frac=0.1)
+    base, log_dir, _ = _setup(spark, tmp_work, spec)
+    ev = with_lsn(read_event_log(spark, log_dir)).where(
+        "entry_type = 'ROWDATA' AND NOT is_ddl AND table_name = 'tokseq'"
+    )
+    ch = changes_from_events(ev)
+    got = collapse_lww(ch) if variant == "maxby" else collapse_lww_window(ch)
+    rows = got.collect()
+    assert len(rows) == got.select("doc_id").distinct().count()
+    # cross-check the two variants
+    other = collapse_lww_window(ch) if variant == "maxby" else collapse_lww(ch)
+    a = {(r["doc_id"], r["op"], r["lsn"]) for r in rows}
+    b = {(r["doc_id"], r["op"], r["lsn"]) for r in other.collect()}
+    assert a == b
