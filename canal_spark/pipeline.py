@@ -1,23 +1,22 @@
-"""Batch replay pipeline: event log → LakeTable (the flagship "query").
+"""Replay pipeline: event log → LakeTable (shared by batch and streaming).
 
-One call answers the reference's core question — *what is the final tokens
-array for every doc_id after replaying the log?* — by composing the stages
-SURVEY.md §2 maps from the reference:
+Composes the stages SURVEY.md §2 maps from the reference:
 
   read segments (local binlog source analog, LocalBinLogConnection)
     → envelope filter (AviaterRegexFilter / DML flags) — pushed to the scan
     → LSN ordering column (Header gtid/file/offset)
-    → DDL plan: split the log into sub-ranges at DDL positions
+    → DDL plan: split the range into sub-ranges at DDL positions
       (EventTransactionBuffer forces non-DML flush before DDL)
-    → per range: explode to per-key changes (SingleDml.dml2SingleDmls)
+    → per range: [wire decode with the live schema if needed]
+      → explode to per-key changes (SingleDml.dml2SingleDmls)
       → LWW collapse (serial pk-hash executors analog, one shuffle)
-      → bucket-pruned MERGE commit (RdbSyncService insert/update/delete
-        + BatchExecutor batch-commit, as ONE atomic snapshot)
+      → bucket-pruned MERGE commit (RdbSyncService apply + BatchExecutor
+        batch-commit, as ONE atomic snapshot)
     → between ranges: SchemaTracker mirrors the DDL
       (RdbMirrorDbSyncService.executeDdl).
 
 Everything data-sized is DataFrame-declarative (Catalyst plans it); only the
-DDL list (a handful of rows) is collected to the driver.
+DDL list (a handful of rows per billions of DML) is collected to the driver.
 """
 
 from __future__ import annotations
@@ -27,8 +26,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from canal_spark.lsn import encode_lsn_col
+from canal_spark.operators.decode import decode_images
 from canal_spark.operators.filters import envelope_filter
 from canal_spark.operators.lww import changes_from_events, collapse_lww
 from canal_spark.schema.tracker import SchemaTracker
@@ -39,6 +40,7 @@ from canal_spark.table.lake import LakeTable
 class ReplayStats:
     ranges: int = 0
     ddls: int = 0
+    events: int = 0
     merges: list[dict] = field(default_factory=list)
 
 
@@ -62,22 +64,43 @@ def with_lsn(df: DataFrame) -> DataFrame:
     return df.withColumn("lsn", encode_lsn_col())
 
 
+def prepare_envelope(raw: DataFrame, table_regex: str = r"^train\.tokseq$") -> DataFrame:
+    """Envelope filter + LSN, KEEPING transaction marker rows (the
+    txn-boundary splitter needs TRANSACTIONBEGIN/END)."""
+    return with_lsn(envelope_filter(raw, table_regex=table_regex, drop_query=False))
+
+
+def prepare_events(raw: DataFrame, table_regex: str = r"^train\.tokseq$") -> DataFrame:
+    """Envelope filter + LSN: the cheap gate ahead of all expensive work."""
+    ev = prepare_envelope(raw, table_regex=table_regex)
+    return ev.where(F.col("entry_type") == "ROWDATA")
+
+
+def _image_fields(events: DataFrame) -> set[str] | None:
+    dt = events.schema["after"].dataType
+    return {f.name for f in dt.fields} if isinstance(dt, T.StructType) else None
+
+
 def apply_dml_range(events: DataFrame, table: LakeTable,
                     lo: str | None, hi: str | None,
                     batch_id: str | None = None,
-                    salt_partitions: int | None = None) -> dict:
+                    salt_partitions: int | None = None,
+                    wire: bool = False) -> dict:
     """LWW-collapse + MERGE the DML events with lo < lsn ≤ hi."""
     rng = events
     if lo:
         rng = rng.where(F.col("lsn") > lo)
     if hi:
         rng = rng.where(F.col("lsn") <= hi)
+    if wire:
+        # decode the wire payload with the CURRENT schema (live registry)
+        rng = decode_images(rng, table.schema())
     data_cols = table.logical_columns()
-    available = {f.name for f in events.schema["after"].dataType.fields}
-    # columns added by DDL exist in the sink but may not exist in any
-    # segment read so far; fill them with NULLs of the sink's type
-    rng_cols = [c for c in data_cols if c in available]
+    available = _image_fields(rng)
+    rng_cols = [c for c in data_cols if available is None or c in available]
     changes = changes_from_events(rng, key=table.key_col, data_cols=rng_cols)
+    # columns added by DDL exist in the sink but may be absent from the
+    # segments in this range; fill with NULLs of the sink's type
     for c in data_cols:
         if c not in changes.columns:
             changes = changes.withColumn(
@@ -85,31 +108,27 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
             )
     net = collapse_lww(changes, key=table.key_col,
                        salt_partitions=salt_partitions)
-    max_lsn = hi
-    return table.merge_apply(net, batch_id=batch_id, max_lsn=max_lsn)
+    return table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
 
 
-def replay(spark: SparkSession, log_dir: str, table: LakeTable,
-           files: list[str] | None = None,
-           table_regex: str = r"^train\.tokseq$",
-           batch_id: str | None = None,
-           salt_partitions: int | None = None) -> ReplayStats:
-    """Replay a (portion of the) event log into the sink table."""
+def apply_events(events: DataFrame, table: LakeTable,
+                 batch_id: str | None = None,
+                 salt_partitions: int | None = None,
+                 wire: bool = False) -> ReplayStats:
+    """Apply a prepared (filtered, LSN'd, ROWDATA-only) event range:
+    DDL-split sub-ranges, merge each, mirror DDL between them."""
     stats = ReplayStats()
     if batch_id is not None and table.is_applied(batch_id):
         return stats
+    events = events.where(F.col("entry_type") == "ROWDATA")
+    if events.isEmpty():  # idle epoch: no data, no metadata churn
+        return stats
 
-    raw = read_event_log(spark, log_dir, files)
-    ev = with_lsn(envelope_filter(raw, table_regex=table_regex, drop_query=False))
-    ev = ev.where(F.col("entry_type") == "ROWDATA")
-
-    # DDL plan (tiny by construction — driver-side, like the reference's
-    # single-threaded DDL path in LogEventConvert.parseQueryEvent)
     ddls = sorted(
         (r["lsn"], r["sql"])
-        for r in ev.where(F.col("is_ddl")).select("lsn", "sql").collect()
+        for r in events.where(F.col("is_ddl")).select("lsn", "sql").collect()
     )
-    dml = ev.where(~F.col("is_ddl"))
+    dml = events.where(~F.col("is_ddl"))
 
     tracker = SchemaTracker(table)
     lo: str | None = None
@@ -117,7 +136,7 @@ def replay(spark: SparkSession, log_dir: str, table: LakeTable,
         res = apply_dml_range(
             dml, table, lo, ddl_lsn,
             batch_id=None if batch_id is None else f"{batch_id}/r{i}",
-            salt_partitions=salt_partitions,
+            salt_partitions=salt_partitions, wire=wire,
         )
         stats.merges.append(res)
         stats.ranges += 1
@@ -127,12 +146,29 @@ def replay(spark: SparkSession, log_dir: str, table: LakeTable,
     res = apply_dml_range(
         dml, table, lo, None,
         batch_id=None if batch_id is None else f"{batch_id}/tail",
-        salt_partitions=salt_partitions,
+        salt_partitions=salt_partitions, wire=wire,
     )
     stats.merges.append(res)
     stats.ranges += 1
+    stats.events = sum(m.get("upserts", 0) + m.get("deletes", 0)
+                       for m in stats.merges)
     if batch_id is not None:
         table._commit_meta(
             applied_batches=table.snap["applied_batches"][-255:] + [batch_id]
         )
     return stats
+
+
+def replay(spark: SparkSession, log_dir: str, table: LakeTable,
+           files: list[str] | None = None,
+           table_regex: str = r"^train\.tokseq$",
+           batch_id: str | None = None,
+           salt_partitions: int | None = None,
+           wire: bool = False) -> ReplayStats:
+    """Batch replay of a (portion of the) event log into the sink table."""
+    if batch_id is not None and table.is_applied(batch_id):
+        return ReplayStats()
+    raw = read_event_log(spark, log_dir, files)
+    ev = prepare_events(raw, table_regex=table_regex)
+    return apply_events(ev, table, batch_id=batch_id,
+                        salt_partitions=salt_partitions, wire=wire)

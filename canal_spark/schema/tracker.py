@@ -54,7 +54,7 @@ class SchemaTracker:
             if cmd.column in self.table.logical_columns():
                 self.table.alter_drop_column(cmd.column)
         elif cmd.kind == "TRUNCATE":
-            self.table.truncate()
+            self.table.truncate(lsn=lsn)
         # fence the LSN in the same snapshot lineage
         self.table._commit_meta(last_ddl_lsn=lsn)
         return cmd

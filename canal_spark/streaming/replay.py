@@ -1,0 +1,166 @@
+"""Structured Streaming replay: the live CDC tail.
+
+Maps the reference's server loop onto Structured Streaming:
+
+- The file source tailing binlog segments = LocalBinLogConnection.dump's
+  file queue (parse/.../mysql/LocalBinLogConnection.java:81-218);
+  ``maxFilesPerTrigger`` is the store's batch-admission knob
+  (MemoryEventStoreWithBuffer batchSize/MEMSIZE,
+  store/.../MemoryEventStoreWithBuffer.java:315-356).
+- The checkpoint (offsets/ + commits/) replaces the meta cursors
+  (FileMixedMetaManager.java:43-151) and position managers: a crash replays
+  the last uncommitted epoch — the get/rollback semantics of
+  CanalServerWithEmbedded:470-490 — and the LakeTable's batch ledger +
+  LSN-fenced MERGE turn that at-least-once redo into table-level
+  exactly-once.
+- Transaction-boundary batching: each micro-batch is cut at the last
+  complete TRANSACTIONEND; the incomplete tail carries to the next batch
+  via a parquet spill (EventTransactionBuffer.java:72-142 + ack-on-txn-end,
+  MemoryEventStoreWithBuffer.java:366-377).
+- Micro-batch apply = one foreachBatch: the MQ worker loop
+  (CanalMQStarter.worker, server/.../CanalMQStarter.java:152-216) collapsed
+  into a deterministic function.
+
+The source reads the WIRE shape (before/after as JSON strings, fixed source
+schema) and decodes per micro-batch against the live schema — required
+because a stream's schema cannot change mid-flight while the log's can
+(SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canal_spark.metrics import MetricsLog, batch_lineage
+from canal_spark.operators.decode import wire_schema
+from canal_spark.operators.transactions import TxnTailState, split_at_txn_boundary
+from canal_spark.pipeline import apply_events, prepare_envelope
+from canal_spark.table.lake import LakeTable
+
+# the fixed wire envelope: everything the generator writes, images as JSON
+_ENVELOPE_DDL = (
+    "entry_type string, event_type string, gtid_seq long, binlog_file string,"
+    " binlog_pos long, server_id long, execute_ts timestamp,"
+    " schema_name string, table_name string, txn_id string, is_ddl boolean,"
+    " sql string, before string, after string"
+)
+
+
+class StreamingReplay:
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        table: LakeTable,
+        checkpoint_dir: str,
+        table_regex: str = r"^train\.tokseq$",
+        max_files_per_trigger: int = 1,
+        salt_partitions: int | None = None,
+        txn_aligned: bool = True,
+    ):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.table = table
+        self.checkpoint_dir = os.path.abspath(checkpoint_dir)
+        self.table_regex = table_regex
+        self.max_files_per_trigger = max_files_per_trigger
+        self.salt_partitions = salt_partitions
+        self.txn_aligned = txn_aligned
+        self.tail_state = TxnTailState(
+            spark, os.path.join(self.checkpoint_dir, "txn_tail"))
+        self.metrics = MetricsLog(
+            os.path.join(self.checkpoint_dir, "metrics", "batches.jsonl"))
+
+    # ------------------------------------------------------------ source
+    def _read_stream(self) -> DataFrame:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return (
+            self.spark.readStream.schema(_parse_datatype_string(_ENVELOPE_DDL))
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("pathGlobFilter", "mysql-bin.*.parquet")
+            .option("latestFirst", "false")
+            .parquet(self.log_dir)
+        )
+
+    # ------------------------------------------------------- batch apply
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        # keep txn markers: the boundary split needs TRANSACTIONEND rows
+        ev = prepare_envelope(batch_df, table_regex=self.table_regex)
+        if self.txn_aligned:
+            ev = self.tail_state.attach(ev)
+            complete, tail, cut = split_at_txn_boundary(ev)
+        else:
+            complete, tail, cut = ev, None, None
+
+        complete = complete.persist()
+        try:
+            n_rows = complete.where(F.col("entry_type") == "ROWDATA").count()
+            lineage = batch_lineage(complete) if n_rows else []
+            stats = apply_events(
+                complete, self.table,
+                batch_id=f"epoch-{epoch_id}",
+                salt_partitions=self.salt_partitions,
+                wire=True,
+            )
+            lag_row = complete.agg(F.max("execute_ts").alias("m")).collect()[0]
+            # tail spill AFTER the merge committed: a crash in between
+            # replays the epoch (ledger no-op) and rebuilds the same tail
+            if self.txn_aligned and tail is not None:
+                self.tail_state.save(tail)
+        finally:
+            complete.unpersist()
+
+        self.metrics.append({
+            "epoch": epoch_id,
+            "rows": n_rows,
+            "events_applied": stats.events,
+            "ranges": stats.ranges,
+            "ddls": stats.ddls,
+            "cut_lsn": cut,
+            "lag_sec": (
+                time.time() - lag_row["m"].timestamp()
+                if lag_row and lag_row["m"] is not None else None
+            ),
+            "lineage": lineage,
+            "batch_sec": time.time() - t0,
+            "table_version": self.table.version,
+        })
+
+    # -------------------------------------------------------------- run
+    def start(self, available_now: bool = True):
+        writer = (
+            self._read_stream()
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="1 second")
+        return writer.start()
+
+    def run_to_completion(self, timeout_sec: float = 600.0) -> None:
+        """Process everything currently in the log, then stop (one 'round'
+        of tailing — used by tests and the benchmark)."""
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+
+    def flush_tail(self) -> None:
+        """End-of-log flush: apply the carried tail even without its END
+        marker (shutdown path — reference flushes the txn buffer on stop,
+        EventTransactionBuffer reset)."""
+        tail = self.tail_state.load()
+        if tail is None:
+            return
+        # no batch id: the LSN fence alone makes a re-flush idempotent, and a
+        # constant id would wrongly skip flushes of NEW tails in later runs
+        apply_events(tail, self.table, batch_id=None, wire=True)
+        self.tail_state.clear()

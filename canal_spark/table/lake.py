@@ -279,6 +279,9 @@ class LakeTable:
 
         key = self.key_col
         data_cols = self.logical_columns()
+        trunc = self.snap.get("truncate_lsn", "")
+        if trunc:
+            changes = changes.where(F.col("lsn") > trunc)
         # prefix change columns so the full-outer join is unambiguous
         chg = changes.select(
             *[F.col(c).alias(f"_c_{c}") for c in data_cols],
@@ -291,6 +294,13 @@ class LakeTable:
             touched = sorted(
                 r["_b"] for r in chg.select("_b").distinct().collect()
             )
+            if not touched:  # empty batch: no data, no version churn
+                if batch_id is not None:
+                    self._commit_meta(
+                        applied_batches=_ledger_add(
+                            self.snap["applied_batches"], batch_id))
+                return {"skipped": False, "version": self.snap["version"],
+                        "buckets": 0, "upserts": 0, "deletes": 0}
             n_up = chg.where(F.col("_c_op") == "U").count()
             n_del = chg.where(F.col("_c_op") == "D").count()
 
@@ -369,10 +379,15 @@ class LakeTable:
         cols = [c for c in self.snap["columns"] if c["name"] != name]
         self._commit_meta(columns=cols)
 
-    def truncate(self) -> None:
+    def truncate(self, lsn: str | None = None) -> None:
         """Metadata-only truncate (RdbSyncService.truncate analog,
-        client-adapter/rdb/.../RdbSyncService.java:392-400)."""
-        self._commit_meta(files={})
+        client-adapter/rdb/.../RdbSyncService.java:392-400). Recording the
+        TRUNCATE's LSN fences any late/duplicate pre-truncate DML from
+        resurrecting wiped rows."""
+        updates: dict = {"files": {}}
+        if lsn is not None:
+            updates["truncate_lsn"] = max(self.snap.get("truncate_lsn", ""), lsn)
+        self._commit_meta(**updates)
 
     # ------------------------------------------------------- maintenance
     def compact(self, buckets: list[int] | None = None) -> None:
