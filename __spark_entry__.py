@@ -1,38 +1,330 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship job: tokenize the sf0.001 documents table
+into the (doc_id, tokens, n_tok, source) base table (BASELINE.json
+input_hint), seed the Iceberg-style LakeTable with it, generate the
+deterministic synthetic binlog (seed=42), replay it through the CDC engine
+(envelope filter → LSN order → DDL-split ranges → LWW collapse → bucketed
+MERGE), and return the final table state.
+
+``queries()`` / ``oracle_sql()`` expose every SQL-checkable operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing). All numeric outputs are
+integer fixed-point (floor to e2/e3/e4 units before aggregation) so values
+are bit-identical across engines — double sums are not associative and
+never leave a query.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from canal_spark.functions import cdc_demo, dedup, multimodal, relational, similarity, text
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_WORK = os.path.join(_REPO, ".work")
+
+BASE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tokenized_base(sf_dir: str):
+    """Deterministic fake-BPE over the documents table: byte values become
+    token ids (capped at 64 tokens/doc). Pure numpy, no external models."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    texts = docs.column("text").to_pylist()
+    ids = docs.column("doc_id").to_pylist()
+    srcs = docs.column("source").to_pylist()
+    doc_ids, toks, n_toks = [], [], []
+    for i, txt in zip(ids, texts):
+        arr = np.frombuffer((txt or "").encode("utf-8"), dtype=np.uint8)
+        t = ((arr.astype(np.int32) * 197 + 13) % 50257)[:64]
+        doc_ids.append(f"doc{i:09d}")
+        toks.append(t)
+        n_toks.append(len(t))
+    offsets = np.zeros(len(toks) + 1, dtype=np.int32)
+    np.cumsum([len(t) for t in toks], out=offsets[1:])
+    values = np.concatenate(toks) if toks else np.empty(0, np.int32)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "tokens": pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           pa.array(values, pa.int32())),
+        "n_tok": pa.array(np.asarray(n_toks, np.int32)),
+        "source": pa.array(srcs, pa.string()),
+    })
+
+
+def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
+                n_events: int, seed: int) -> DataFrame:
+    from canal_spark.fixtures.generator import CdcLogSpec, generate_cdc_log
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+
+    work = os.path.join(_WORK, work_name)
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base = _tokenized_base(sf_dir)
+    spec = CdcLogSpec(
+        n_events=n_events, seed=seed, hot_frac=0.25, other_table_frac=0.05,
+        pk_change_frac=0.02, events_per_file=max(1000, n_events // 4),
+        ddl_script=[
+            (n_events // 3, "ALTER TABLE train.tokseq ADD COLUMN quality_tier STRING"),
+            (2 * n_events // 3, "ALTER TABLE train.tokseq ADD COLUMN lang_tag STRING"),
+        ],
+    )
+    generate_cdc_log(log_dir, spec, base=base)
+    base_df = spark.createDataFrame(base.to_pandas(), schema=BASE_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"),
+                             BASE_SCHEMA, key_col="doc_id", n_buckets=8,
+                             df=base_df)
+    replay(spark, log_dir, table.refresh())
+    return table.refresh().read()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC replay of the synthetic binlog over the tokenized
+    sf0.001 documents base table; returns the final sink state."""
+    return _run_replay(spark, "/root/testdata/sf0.001", "entry_replay",
+                       n_events=2500, seed=42)
 
+
+# --------------------------------------------------------------------------
+# queries(): one entry per SQL-checkable operator + rows-only extras
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    # --- CDC semantics over the generic event stream (events table)
+    q["cdc_lww_collapse"] = lambda s, d: cdc_demo.lww_collapse(_table(s, d, "events"))
+    q["cdc_net_effect"] = lambda s, d: cdc_demo.net_effect(_table(s, d, "events"))
+    q["cdc_txn_batches"] = lambda s, d: cdc_demo.txn_window_batches(_table(s, d, "events"))
+    q["cdc_ack_points"] = lambda s, d: cdc_demo.ordered_ack_points(_table(s, d, "events"))
+    q["cdc_source_union"] = lambda s, d: relational.source_union(_table(s, d, "events"))
+
+    # --- text analysis (documents table)
+    q["doc_lang_id"] = lambda s, d: text.lang_id(_table(s, d, "documents")).select(
+        "doc_id", "sw_de", "sw_en", "sw_fr", "lang_guess")
+    q["doc_quality"] = lambda s, d: text.quality_score(_table(s, d, "documents")).select(
+        "doc_id", "n_chars_c", "n_words", "n_punct", "punct_bp",
+        "avg_word_len_e2", "quality")
+    q["doc_token_count"] = lambda s, d: text.token_count(_table(s, d, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens")
+    q["doc_fingerprint"] = lambda s, d: text.fingerprint(_table(s, d, "documents")).select(
+        "doc_id", "fp_md5")
+
+    # --- deduplication (documents table)
+    q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_table(s, d, "documents"))
+    q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(
+        _table(s, d, "documents"), n=1, threshold_bp=9000)
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _table(s, d, "documents"), n=3, num_hashes=64, bands=8,
+        threshold_bp=7000)
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_near_pairs(
+        _table(s, d, "documents"), max_hamming=3)
+
+    # --- similarity search (embeddings table)
+    def _q_vecs(s, d):
+        return _table(s, d, "embeddings").where(F.col("vec_id") < 8)
+
+    q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _table(s, d, "embeddings"), _q_vecs(s, d), k=5)
+    q["ann_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
+        _table(s, d, "embeddings"), _q_vecs(s, d), k=5)
+    q["emb_near_pairs"] = lambda s, d: similarity.embedding_near_pairs(
+        _table(s, d, "embeddings"), threshold_e3=350)
+
+    # --- multimodal plumbing (documents table as fake media carrier)
+    q["media_meta"] = lambda s, d: multimodal.media_meta_plan(_table(s, d, "documents"))
+    q["media_frames"] = lambda s, d: multimodal.frame_sample_plan(_table(s, d, "documents"))
+    q["media_features"] = lambda s, d: multimodal.extract_features(
+        multimodal.attach_fake_media(_table(s, d, "documents"))).select(
+        "doc_id", "media_type", "n_bytes", "checksum64")
+
+    # --- relational / full-load shapes (TPC-H-ish tables)
+    q["tpch_pricing_summary"] = lambda s, d: relational.pricing_summary(
+        _table(s, d, "lineitem"))
+    q["orders_by_segment"] = lambda s, d: relational.orders_by_segment(
+        _table(s, d, "orders"), _table(s, d, "customer"))
+    q["backfill_snapshot"] = lambda s, d: relational.backfill_snapshot(
+        _table(s, d, "orders"))
+
+    # --- the engine itself (non-SQL: LakeTable MERGE + DDL + oracle parity
+    #     is asserted by tests/; the driver records a rows-only check here)
+    q["cdc_replay_state"] = lambda s, d: _run_replay(
+        s, d, "q_replay", n_events=2000, seed=7)
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle_sql(): DuckDB-runnable ANSI SQL per query (omitted → rows-only)
+# --------------------------------------------------------------------------
+
+def _sw_count_sql(word: str) -> str:
+    needle = f" {word} "
+    padded = "' ' || lower(text) || ' '"
+    return (f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+def _lang_id_sql() -> str:
+    sw = {lang: " + ".join(_sw_count_sql(w) for w in ws)
+          for lang, ws in text.STOPWORDS.items()}
+    best = "GREATEST(sw_de, sw_en, sw_fr)"
+    return f"""
+        WITH sw AS (
+            SELECT doc_id, {sw['en']} AS sw_en, {sw['de']} AS sw_de,
+                   {sw['fr']} AS sw_fr
+            FROM documents
+        )
+        SELECT doc_id, sw_de, sw_en, sw_fr,
+               CASE WHEN {best} = 0 THEN 'und'
+                    WHEN sw_de = {best} THEN 'de'
+                    WHEN sw_en = {best} THEN 'en'
+                    ELSE 'fr' END AS lang_guess
+        FROM sw
     """
-    return {}
+
+
+_WORDS_SQL = r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))"
+
+
+def _quality_sql() -> str:
+    sw_total = " + ".join(
+        _sw_count_sql(w) for ws in text.STOPWORDS.values() for w in ws)
+    return rf"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_c,
+                   CAST({_WORDS_SQL} AS BIGINT) AS n_words,
+                   CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+                   ({sw_total}) AS sw_total
+            FROM documents
+        ), g AS (
+            SELECT *,
+                   CASE WHEN n_chars_c > 0
+                        THEN CAST(FLOOR(n_punct * 10000 / n_chars_c) AS BIGINT)
+                        ELSE 0 END AS punct_bp,
+                   CASE WHEN n_words > 0
+                        THEN CAST(FLOOR((n_chars_c - n_spaces) * 100 / n_words) AS BIGINT)
+                        ELSE 0 END AS avg_word_len_e2
+            FROM f
+        )
+        SELECT doc_id, n_chars_c, n_words, n_punct, punct_bp, avg_word_len_e2,
+               GREATEST(0, LEAST(100, CAST(FLOOR(
+                   50 + LEAST(20, n_words / 10)
+                      + LEAST(20, sw_total * 2)
+                      - LEAST(30, punct_bp / 100)
+                      - CASE WHEN n_words < 5 THEN 20 ELSE 0 END
+               ) AS BIGINT))) AS quality
+        FROM g
+    """
+
+
+_CANON_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+    o["cdc_lww_collapse"] = cdc_demo.lww_collapse_sql()
+    o["cdc_net_effect"] = cdc_demo.net_effect_sql()
+    o["cdc_txn_batches"] = cdc_demo.txn_window_batches_sql()
+    o["cdc_ack_points"] = cdc_demo.ordered_ack_points_sql()
+    o["cdc_source_union"] = relational.source_union_sql()
+
+    o["doc_lang_id"] = _lang_id_sql()
+    o["doc_quality"] = _quality_sql()
+    o["doc_token_count"] = rf"""
+        SELECT doc_id,
+               CAST({_WORDS_SQL} AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        FROM documents
     """
-    return {}
+    o["doc_fingerprint"] = f"""
+        SELECT doc_id, md5({_CANON_SQL}) AS fp_md5 FROM documents
+    """
+
+    o["dedup_exact"] = f"""
+        SELECT fp_md5, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        FROM (SELECT doc_id, md5({_CANON_SQL}) AS fp_md5 FROM documents)
+        GROUP BY fp_md5 HAVING COUNT(*) > 1
+    """
+    o["dedup_jaccard"] = rf"""
+        WITH sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array({_CANON_SQL}, '\s+'),
+                       x -> x <> '')) AS s
+            FROM documents
+        ),
+        ex AS (SELECT id, unnest(s) AS w FROM sh),
+        sz AS (SELECT id, CAST(len(s) AS BIGINT) AS sz FROM sh),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.w = b.w AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+               CAST(FLOOR(inter * 10000 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
+        FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        WHERE FLOOR(inter * 10000 / (sa.sz + sb.sz - inter)) >= 9000
+    """
+    # dedup_minhash_lsh / dedup_simhash: signatures are xxhash64-seeded —
+    # not expressible in portable SQL → rows-only check (tests assert the
+    # LSH candidates superset the exact-jaccard pairs instead).
+
+    _COS = ("list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * "
+            "sqrt(list_dot_product(nv, nv)))")
+    o["ann_cosine_topk"] = f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        s AS (SELECT q_id, n_id, {_COS} AS sim
+              FROM c CROSS JOIN q WHERE n_id <> q_id),
+        r AS (SELECT q_id, n_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, n_id ASC) AS rank
+              FROM s)
+        SELECT q_id, n_id, rank, CAST(FLOOR(sim * 1000) AS BIGINT) AS sim_e3
+        FROM r WHERE rank <= 5
+    """
+    o["emb_near_pairs"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+              FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, CAST(FLOOR(sim * 1000) AS BIGINT) AS sim_e3
+        FROM p WHERE FLOOR(sim * 1000) >= 350
+    """
+    # ann_lsh_topk: hyperplane buckets are xxhash64-derived → rows-only.
+
+    o["media_meta"] = multimodal.media_meta_plan_sql()
+    o["media_frames"] = multimodal.frame_sample_plan_sql()
+    # media_features: mapInPandas (Arrow-batched Python) → rows-only.
+
+    o["tpch_pricing_summary"] = relational.pricing_summary_sql()
+    o["orders_by_segment"] = relational.orders_by_segment_sql()
+    o["backfill_snapshot"] = relational.backfill_snapshot_sql()
+    # cdc_replay_state: the full MERGE/DDL/exactly-once engine — verified
+    # against the sequential-apply python oracle in tests/ → rows-only.
+    return o

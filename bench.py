@@ -1,0 +1,154 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "replay_events": N, "replay_events_per_sec": X, "parallelism": C}
+
+Workload:
+  - cdc_replay   — the flagship: generate (cached) a synthetic binlog sized
+                   to the SF, seed the LakeTable from the tokenized documents
+                   table, replay end-to-end (decode → LWW → bucketed MERGE,
+                   one DDL mid-log to exercise range splitting).
+  - q_lww        — LWW collapse over the events table (map-side-combining
+                   max_by aggregate).
+  - q_dedup_minhash — MinHash+LSH near-dup pairs over documents.
+  - q_ann_topk   — brute-force cosine top-k over embeddings.
+  - q_pricing    — TPC-H Q1-shape aggregate over lineitem.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+from canal_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    """Fully execute a DataFrame without materializing to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_fixture(sf_dir: str, n_events: int, seed: int = 42) -> tuple[str, str]:
+    """Generate (once, cached) the bench binlog + base table for this SF."""
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import _tokenized_base
+    from canal_spark.fixtures.generator import CdcLogSpec, generate_cdc_log
+
+    tag = f"bench_{os.path.basename(sf_dir.rstrip('/'))}_{n_events}_{seed}"
+    root = os.path.join(_REPO, ".work", tag)
+    log_dir = os.path.join(root, "binlog")
+    base_path = os.path.join(root, "base.parquet")
+    manifest = os.path.join(log_dir, "log_manifest.json")
+    if not (os.path.exists(manifest) and os.path.exists(base_path)):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        base = _tokenized_base(sf_dir)
+        pq.write_table(base, base_path)
+        spec = CdcLogSpec(
+            n_events=n_events, seed=seed, hot_frac=0.3, hot_keys=16,
+            other_table_frac=0.02, pk_change_frac=0.02,
+            events_per_file=100_000,
+            ddl_script=[(n_events // 2,
+                         "ALTER TABLE train.tokseq ADD COLUMN quality_tier STRING")],
+        )
+        generate_cdc_log(log_dir, spec, base=base)
+    return log_dir, base_path
+
+
+def run_replay(spark, log_dir: str, base_path: str, table_dir: str,
+               n_buckets: int = 32) -> dict:
+    """Replay the full log into a fresh LakeTable; returns stats + seconds."""
+    from __spark_entry__ import BASE_SCHEMA
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, table_dir, BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=n_buckets, df=base_df)
+    t0 = time.time()
+    stats = replay(spark, log_dir, table.refresh())
+    dt = time.time() - t0
+    with open(os.path.join(log_dir, "log_manifest.json")) as f:
+        n_events = json.load(f)["n_events"]
+    return {"sec": dt, "events": n_events,
+            "events_per_sec": n_events / dt if dt else 0.0,
+            "merges": stats.ranges, "ddls": stats.ddls}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    sf = _sf_of(sf_dir)
+    n_events = max(20_000, int(10_000_000 * sf))  # sf0.1 → 1M events
+
+    from canal_spark.functions import cdc_demo, dedup, relational, similarity
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    log_dir, base_path = ensure_fixture(sf_dir, n_events)
+    table_dir = os.path.join(_REPO, ".work", "bench_table")
+
+    def t(name):
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    rep = run_replay(spark, log_dir, base_path, table_dir, n_buckets=cpus)
+    timings["cdc_replay"] = round(rep["sec"], 3)
+
+    t0 = time.time()
+    _force(cdc_demo.lww_collapse(t("events")))
+    timings["q_lww"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _force(dedup.minhash_lsh_pairs(t("documents"), n=3, num_hashes=64,
+                                   bands=8, threshold_bp=7000))
+    timings["q_dedup_minhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _force(similarity.cosine_topk(
+        t("embeddings"), t("embeddings").where(F.col("vec_id") < 8), k=5))
+    timings["q_ann_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _force(relational.pricing_summary(t("lineitem")))
+    timings["q_pricing"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "cdc_replay_plus_curation_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "replay_events": rep["events"],
+        "replay_events_per_sec": round(rep["events_per_sec"], 1),
+        "parallelism": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

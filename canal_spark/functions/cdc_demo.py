@@ -40,7 +40,7 @@ def lww_collapse(events: DataFrame) -> DataFrame:
             "user_id",
             F.col("last.event_id").alias("last_event_id"),
             F.col("last.event_type").alias("last_event_type"),
-            F.round(F.col("last.value"), 4).alias("last_value"),
+            F.floor(F.col("last.value") * 10000).cast("long").alias("last_value_e4"),
             "n_events",
         )
     )
@@ -51,7 +51,7 @@ def lww_collapse_sql() -> str:
         SELECT user_id,
                event_id AS last_event_id,
                event_type AS last_event_type,
-               ROUND(value, 4) AS last_value,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS last_value_e4,
                n_events
         FROM (
             SELECT *,
@@ -76,7 +76,7 @@ def net_effect(events: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_update"),
             F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_delete"),
         )
-        .withColumn("alive", (F.col("final_op") != "D").cast("int"))
+        .withColumn("alive", (F.col("final_op") != "D").cast("long"))
     )
 
 
@@ -89,43 +89,53 @@ def net_effect_sql() -> str:
                                    ELSE 'U' END AS op
             FROM events
         )
-        SELECT user_id,
-               (SELECT op FROM ops o2 WHERE o2.user_id = o.user_id
-                ORDER BY ts DESC, event_id DESC LIMIT 1) AS final_op,
-               SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS n_insert,
-               SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS n_update,
-               SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_delete,
-               CAST((SELECT op FROM ops o2 WHERE o2.user_id = o.user_id
-                     ORDER BY ts DESC, event_id DESC LIMIT 1) != 'D' AS INT)
-                   AS alive
-        FROM ops o
-        GROUP BY user_id
+        SELECT a.user_id, l.final_op,
+               a.n_insert, a.n_update, a.n_delete,
+               CAST(l.final_op != 'D' AS BIGINT) AS alive
+        FROM (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+                   CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+                   CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+            FROM ops GROUP BY user_id
+        ) a
+        JOIN (
+            SELECT user_id, op AS final_op FROM (
+                SELECT user_id, op,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM ops
+            ) WHERE rn = 1
+        ) l ON a.user_id = l.user_id
     """
 
 
 def txn_window_batches(events: DataFrame) -> DataFrame:
     """Admission accounting: hourly micro-batch buckets with row counts and
     positions (the store's items/bytes batch sizing, MEMSIZE analog)."""
+    epoch = F.col("ts").cast("timestamp").cast("long")
     return (
         events.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("batch_hour")
+            F.floor(epoch / 3600).cast("long").alias("epoch_hour")
         )
         .agg(
-            F.count("*").alias("rows"),
+            F.count("*").alias("n_rows"),
             F.min("event_id").alias("first_pos"),
             F.max("event_id").alias("ack_pos"),
-            F.countDistinct("user_id").alias("keys"),
+            F.countDistinct("user_id").alias("n_keys"),
         )
     )
 
 
 def txn_window_batches_sql() -> str:
+    # epoch-hour integers instead of date_trunc so the value is engine- and
+    # timezone-representation independent (session TZ is UTC either way)
     return """
-        SELECT date_trunc('hour', ts) AS batch_hour,
-               COUNT(*) AS rows,
+        SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 3600) AS BIGINT) AS epoch_hour,
+               COUNT(*) AS n_rows,
                MIN(event_id) AS first_pos,
                MAX(event_id) AS ack_pos,
-               COUNT(DISTINCT user_id) AS keys
+               COUNT(DISTINCT user_id) AS n_keys
         FROM events GROUP BY 1
     """
 
@@ -135,7 +145,7 @@ def ordered_ack_points(events: DataFrame) -> DataFrame:
     the ack-position/lineage selection of store doGet + parse positions."""
     return events.groupBy("event_type").agg(
         F.max("event_id").alias("ack_event_id"),
-        F.max("ts").alias("ack_ts"),
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("ack_epoch"),
         F.count("*").alias("delivered"),
     )
 
@@ -144,7 +154,7 @@ def ordered_ack_points_sql() -> str:
     return """
         SELECT event_type,
                MAX(event_id) AS ack_event_id,
-               MAX(ts) AS ack_ts,
+               CAST(MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS BIGINT) AS ack_epoch,
                COUNT(*) AS delivered
         FROM events GROUP BY event_type
     """

@@ -59,6 +59,70 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def media_meta_plan(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Flat typed-metadata projection for the fake media columns — the
+    SQL-checkable face of ``attach_fake_media`` (same derivations, no
+    binary/struct columns so any engine computes it identically)."""
+    t = F.col(text_col)
+    media_type = (
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return df.select(
+        F.col(id_col),
+        media_type.alias("media_type"),
+        (F.length(t) % 640 + 16).cast("long").alias("width"),
+        (F.length(t) % 480 + 16).cast("long").alias("height"),
+        (F.length(t) % 30 + 1).cast("long").alias("n_frames"),
+        F.octet_length(t).cast("long").alias("n_bytes"),
+    )
+
+
+def media_meta_plan_sql() -> str:
+    return """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(length(text) % 640 + 16 AS BIGINT) AS width,
+               CAST(length(text) % 480 + 16 AS BIGINT) AS height,
+               CAST(length(text) % 30 + 1 AS BIGINT) AS n_frames,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    """
+
+
+def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", every_n: int = 5) -> DataFrame:
+    """Frame-sampling plan straight off the documents table (video rows
+    only): pure JVM sequence/explode, SQL-checkable."""
+    t = F.col(text_col)
+    n_frames = (F.length(t) % 30 + 1).cast("int")
+    return (
+        df.where(F.col(id_col) % 3 == 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)),
+                           F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_idx", F.col("frame_idx").cast("long"))
+    )
+
+
+def frame_sample_plan_sql(every_n: int = 5) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(unnest(generate_series(0,
+                    GREATEST(length(text) % 30, 0), {every_n})) AS BIGINT)
+                   AS frame_idx
+        FROM documents WHERE doc_id % 3 = 2
+    """
+
+
 def decode_stub(payload: bytes) -> None:
     """Where a real codec (PIL/ffmpeg/torchaudio) would decode the payload.
 

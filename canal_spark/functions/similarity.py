@@ -66,8 +66,8 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
-            "q_id", "n_id", "rank",
-            F.round(F.col("sim") * 1000).cast("long").alias("sim_e3"),
+            "q_id", "n_id", F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("sim") * 1000).cast("long").alias("sim_e3"),
         )
     )
 
@@ -142,8 +142,8 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         cand.withColumn("sim", cosine("q_vec", "n_vec"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank",
-                F.round(F.col("sim") * 1000).cast("long").alias("sim_e3"))
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"),
+                F.floor(F.col("sim") * 1000).cast("long").alias("sim_e3"))
     )
 
 
@@ -166,7 +166,7 @@ def embedding_near_pairs(emb: DataFrame, threshold_e3: int = 990,
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
-            "sim_e3", F.round(cosine("va", "vb") * 1000).cast("long")
+            "sim_e3", F.floor(cosine("va", "vb") * 1000).cast("long")
         )
         .where(F.col("sim_e3") >= threshold_e3)
         .select("id_a", "id_b", "sim_e3")

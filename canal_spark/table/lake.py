@@ -291,9 +291,10 @@ class LakeTable:
         )
         chg.persist()
         try:
-            touched = sorted(
-                r["_b"] for r in chg.select("_b").distinct().collect()
-            )
+            # ONE metadata action for touched-buckets + op counts (three
+            # separate actions re-ran the upstream collapse shuffle each)
+            bstats = chg.groupBy("_b", "_c_op").count().collect()
+            touched = sorted({r["_b"] for r in bstats})
             if not touched:  # empty batch: no data, no version churn
                 if batch_id is not None:
                     self._commit_meta(
@@ -301,8 +302,8 @@ class LakeTable:
                             self.snap["applied_batches"], batch_id))
                 return {"skipped": False, "version": self.snap["version"],
                         "buckets": 0, "upserts": 0, "deletes": 0}
-            n_up = chg.where(F.col("_c_op") == "U").count()
-            n_del = chg.where(F.col("_c_op") == "D").count()
+            n_up = sum(r["count"] for r in bstats if r["_c_op"] == "U")
+            n_del = sum(r["count"] for r in bstats if r["_c_op"] == "D")
 
             tgt = self.read_raw(buckets=touched).drop("_b")
             ckey = F.col(f"_c_{key}")

@@ -1,0 +1,106 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and (where present) its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compares
+row count, column names/types, and exact values (rows sorted by all
+columns, column order by name). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as ent
+    from canal_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(sdf)} (rows-only) [{dt:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        s, d = _norm(sdf), _norm(ddf)
+        if list(s.columns) != list(d.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            continue
+        if len(s) != len(d):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
+            continue
+        bad = None
+        for c in s.columns:
+            a, b = s[c], d[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = np.allclose(a.astype(float), b.astype(float),
+                                 rtol=0, atol=0, equal_nan=True)
+            else:
+                eq = a.equals(b.astype(a.dtype)) if a.dtype != b.dtype else a.equals(b)
+            if not eq:
+                bad = c
+                break
+        if bad:
+            merged = pd.DataFrame({"spark": s[bad], "duck": d[bad]})
+            diff = merged[merged["spark"] != merged["duck"]].head(5)
+            failures.append(name)
+            print(f"FAIL {name}: column '{bad}' differs\n{diff}")
+        else:
+            ftypes = [c for c in s.columns if s[c].dtype.kind == "f"]
+            note = f" (float cols: {ftypes})" if ftypes else ""
+            print(f"ok   {name}: rows={len(s)} cols={len(s.columns)} exact{note} [{dt:.1f}s]")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
