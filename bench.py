@@ -46,14 +46,22 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def ensure_fixture(sf_dir: str, n_events: int, seed: int = 42) -> tuple[str, str]:
-    """Generate (once, cached) the bench binlog + base table for this SF."""
+def ensure_fixture(sf_dir: str, n_events: int, seed: int = 42,
+                   ddl: bool = True, min_tok: int = 4,
+                   max_tok: int = 64) -> tuple[str, str]:
+    """Generate (once, cached) the bench binlog + base table for this SF.
+
+    ``ddl=False`` produces a DDL-free log (single MERGE range) — used by the
+    scaling bench so the measured job has one commit's worth of serial
+    driver work, like a steady-state micro-batch."""
     import pyarrow.parquet as pq
 
     from __spark_entry__ import _tokenized_base
     from canal_spark.fixtures.generator import CdcLogSpec, generate_cdc_log
 
-    tag = f"bench_{os.path.basename(sf_dir.rstrip('/'))}_{n_events}_{seed}"
+    tag = (f"bench_{os.path.basename(sf_dir.rstrip('/'))}_{n_events}_{seed}"
+           + ("" if ddl else "_noddl")
+           + ("" if (min_tok, max_tok) == (4, 64) else f"_t{min_tok}-{max_tok}"))
     root = os.path.join(_REPO, ".work", tag)
     log_dir = os.path.join(root, "binlog")
     base_path = os.path.join(root, "base.parquet")
@@ -66,9 +74,13 @@ def ensure_fixture(sf_dir: str, n_events: int, seed: int = 42) -> tuple[str, str
         spec = CdcLogSpec(
             n_events=n_events, seed=seed, hot_frac=0.3, hot_keys=16,
             other_table_frac=0.02, pk_change_frac=0.02,
+            min_tok=min_tok, max_tok=max_tok,
             events_per_file=100_000,
-            ddl_script=[(n_events // 2,
-                         "ALTER TABLE train.tokseq ADD COLUMN quality_tier STRING")],
+            ddl_script=(
+                [(n_events // 2,
+                  "ALTER TABLE train.tokseq ADD COLUMN quality_tier STRING")]
+                if ddl else []
+            ),
         )
         generate_cdc_log(log_dir, spec, base=base)
     return log_dir, base_path

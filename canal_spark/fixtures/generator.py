@@ -195,7 +195,11 @@ class _SegmentBuffer:
                 self.a_doc, self.a_src, self.a_ntok, self.a_lo, self.a_hi,
                 self.a_extra, pool),
         }
-        pq.write_table(pa.table(cols), path, compression="zstd")
+        # small row groups keep the segment SPLITTABLE: parquet scans
+        # parallelize per row group, and a single-group 100k-row segment
+        # would cap scan parallelism at n_files regardless of cores
+        pq.write_table(pa.table(cols), path, compression="zstd",
+                       row_group_size=16384)
 
 
 class _TokenPool:
@@ -209,9 +213,12 @@ class _TokenPool:
 
     def alloc(self, n: int) -> tuple[int, int]:
         while self.used + n > len(self.buf):
+            # geometric growth — appending fixed chunks was O(total²) once
+            # payloads got realistic (hundreds of tokens per sequence)
+            grow = max(self.chunk, len(self.buf))
             self.buf = np.concatenate(
                 [self.buf,
-                 self.rng.integers(0, VOCAB, size=self.chunk, dtype=np.int32)]
+                 self.rng.integers(0, VOCAB, size=grow, dtype=np.int32)]
             )
         lo = self.used
         self.used += n

@@ -37,22 +37,32 @@ def make_pyfiles_zip() -> str:
     return zpath
 
 
-def run_at(cores: int, zpath: str, log_dir: str, base_path: str) -> dict:
+def run_at(cores: int, zpath: str, log_dir: str, base_path: str,
+           repeats: int = 2, stage: str = "full") -> dict:
+    """One spark-submit run at `cores`. shuffle.partitions is held CONSTANT
+    across cluster sizes — on a real cluster the partitioning of a fixed
+    problem does not change with executor count, and letting it track cores
+    conflates spill behavior with scaling (8-core runs spilled with 8 huge
+    reducers and made 32-core look super-linear)."""
     table_dir = os.path.join(_REPO, ".work", f"scale_table_{cores}")
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
         "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
-        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.files.maxPartitionBytes=134217728",
+        "--conf", "spark.sql.autoBroadcastJoinThreshold=64m",
+        "--conf", "spark.driver.memory=24g",
+        "--driver-java-options", "-Xms20g",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.local.dir={os.path.join(_REPO, '.work', 'spark-tmp')}",
         "--py-files", zpath,
         os.path.join(_REPO, "tools", "replay_job.py"),
-        log_dir, base_path, table_dir, "32",
+        log_dir, base_path, table_dir, "32", str(repeats), stage,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -60,23 +70,59 @@ def run_at(cores: int, zpath: str, log_dir: str, base_path: str) -> dict:
     return json.loads(line)
 
 
-def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    n_events = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+def build_scaled_wire_fixture(n_events_base: int = 1_000_000,
+                              replicas: int = 8) -> tuple[str, str]:
+    """The full reproducible protocol: seeded heavy-payload DDL-free log →
+    wire format (JSON images, the Canal parse analog) → R× sharded
+    key-space replication. Everything cached under .work."""
+    import subprocess as sp
 
     from bench import ensure_fixture
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    log_dir, base_path = ensure_fixture(sf_dir, n_events)
+    typed_log, typed_base = ensure_fixture(sf_dir, n_events_base, ddl=False,
+                                           min_tok=64, max_tok=256)
+    src_root = os.path.dirname(typed_log)
+    wire1 = os.path.join(_REPO, ".work", "wire1m_heavy")
+    scaled = os.path.join(_REPO, ".work", f"wire{replicas}m_heavy")
+    if not os.path.exists(os.path.join(scaled, "binlog", "log_manifest.json")):
+        if not os.path.exists(os.path.join(wire1, "binlog", "log_manifest.json")):
+            code = (
+                "import sys, os, shutil;"
+                "sys.path.insert(0, %r);"
+                "from canal_spark.session import get_spark;"
+                "from canal_spark.operators.decode import convert_log_to_wire;"
+                "spark = get_spark('wire_convert');"
+                "os.makedirs(%r, exist_ok=True);"
+                "convert_log_to_wire(spark, %r, %r);"
+                "shutil.copy(os.path.join(%r, 'log_manifest.json'), os.path.join(%r, 'log_manifest.json'));"
+                "shutil.copy(%r, %r)"
+            ) % (_REPO, os.path.join(wire1, "binlog"), typed_log,
+                 os.path.join(wire1, "binlog"), typed_log,
+                 os.path.join(wire1, "binlog"), typed_base,
+                 os.path.join(wire1, "base.parquet"))
+            sp.run([sys.executable, "-c", code], check=True)
+        sp.run([sys.executable, os.path.join(_REPO, "tools", "scale_fixture.py"),
+                wire1, scaled, str(replicas)], check=True)
+    return os.path.join(scaled, "binlog"), os.path.join(scaled, "base.parquet")
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    stage = sys.argv[3] if len(sys.argv) > 3 else "collapse"
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    log_dir, base_path = build_scaled_wire_fixture()
     zpath = make_pyfiles_zip()
 
-    small = run_at(n_small, zpath, log_dir, base_path)
-    large = run_at(n_large, zpath, log_dir, base_path)
+    small = run_at(n_small, zpath, log_dir, base_path, repeats, stage)
+    large = run_at(n_large, zpath, log_dir, base_path, repeats, stage)
     ratio = n_large / n_small
     eff = large["events_per_sec"] / (ratio * small["events_per_sec"])
     result = {
         "job": "tools/replay_job.py via spark-submit --py-files",
-        "input_events": n_events,
+        "stage": stage,
+        "input_events": small["events"],
         "cores_small": n_small, "sec_small": small["sec"],
         "eps_small": small["events_per_sec"],
         "cores_large": n_large, "sec_large": large["sec"],
@@ -87,7 +133,7 @@ def main() -> None:
     print(json.dumps(result, indent=1))
     with open(os.path.join(_REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"\n| {n_events} | local[{n_small}] {small['sec']}s "
+            f"| {small['events']} ({stage}) | local[{n_small}] {small['sec']}s "
             f"{small['events_per_sec']} ev/s | local[{n_large}] "
             f"{large['sec']}s {large['events_per_sec']} ev/s | "
             f"{round(eff, 3)} |\n"
