@@ -21,8 +21,11 @@ OP_MAP = {"signup": "I", "click": "U", "view": "U", "purchase": "U", "error": "D
 
 
 def _op_col():
+    # total over the domain: unknown/NULL event_type → 'U', matching the
+    # oracle's CASE ... ELSE 'U' (ADVICE r01: the bare map lookup returned
+    # NULL for out-of-domain inputs where DuckDB said 'U')
     m = F.create_map(*[F.lit(x) for kv in OP_MAP.items() for x in kv])
-    return m[F.col("event_type")]
+    return F.coalesce(m[F.col("event_type")], F.lit("U"))
 
 
 def lww_collapse(events: DataFrame) -> DataFrame:

@@ -5,13 +5,25 @@ expressed as DataFrame ops (shuffle-aware), no driver-side loops. Designed
 so each stage is a plain hash shuffle Catalyst can plan:
 
 - exact:   one groupBy on the canonical hash (map-side combine).
-- jaccard: explode → self-join on shingle → pair-count aggregation. The
-  shingle join key is a 64-bit hash, not the string (smaller shuffle).
-- minhash: K independent permutations via xxhash64(shingle, seed_k), min per
-  doc (one aggregate), LSH banding → candidate pairs join only within
-  buckets — the 100 TB-safe path (no n² comparisons).
-- simhash: weighted bit-vote over shingle hashes, hamming-distance bucket
-  join on band keys.
+- jaccard: explode → self-join on shingle → pair-count aggregation, guarded
+  by a document-frequency cap (a shingle present in > max_df docs is dropped
+  from every doc's set — without this one common unigram in 1M docs makes
+  10¹² join pairs; standard MinHashLSH practice).
+- minhash: one 60-bit hash per shingle, K arithmetic permutations
+  (hashing.perm — fused multiply-add, no chained hash calls), min per doc
+  (one aggregate), LSH banding → candidate pairs join only within buckets —
+  the 100 TB-safe path (no n² comparisons).
+- simhash: bit-vote over shingle hashes, pigeonhole band join + exact
+  hamming verify via bit_count(xor).
+
+Every pseudo-random quantity is md5-derived (canal_spark.functions.hashing),
+so each operator has a DuckDB twin (`*_sql`) the driver verifies
+value-for-value — nothing here is rows-only.
+
+Reference parity: the dedup family is the training-data extension mandated
+by the build brief (not a reference operator); the deterministic-hash
+partitioning contract mirrors SURVEY.md §2 #22 (pk-hash partitioner,
+sink/.../AbstractMQMessageUtils.java messageHashPartition analog).
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from canal_spark.functions import hashing
 from canal_spark.functions.text import words
 
 
@@ -27,14 +40,21 @@ def canonical_text(text_col) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+CANON_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-dense per-doc stages use every core: small benchmark
     inputs arrive as ONE parquet partition (≤ maxPartitionBytes), which
-    would serialize the shingle/hash kernels on a single task. At real
-    scale the input already has ≥cores partitions and this is a no-op —
-    no shuffle is ever added for big inputs."""
+    would serialize the shingle/hash kernels on a single task. Decided from
+    driver-side file metadata only (`inputFiles`) — no RDD materialization,
+    no job. At real scale the scan has ≥cores files and this is a no-op."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plans (tests build in-memory frames)
+        n_files = 0
+    return df.repartition(p) if n_files < p else df
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -58,36 +78,74 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
     """Distinct word n-gram shingles per doc: (id, shingle string).
 
     Built with JVM higher-order functions (transform over a sequence of
-    offsets + slice + array_join) — no UDF.
-    """
+    offsets + slice + array_join) — no UDF. Docs with < n words yield an
+    empty set (guarded: Spark's sequence(1, len-n+1) would otherwise count
+    DOWN for negative spans)."""
     w = words(canonical_text(text_col))
     if n == 1:
         sh = F.array_distinct(w)
     else:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-        sh = F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
-        )
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        sh = F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+
+
+_WORDS_SQL = (r"list_filter(regexp_split_to_array(" + CANON_SQL +
+              r", '\s+'), x -> x <> '')")
+
+
+def word_shingles_sql(n: int = 3) -> str:
+    """DuckDB expression for the same distinct shingle list."""
+    if n == 1:
+        return f"list_distinct({_WORDS_SQL})"
+    return f"""list_distinct(CASE WHEN len({_WORDS_SQL}) >= {n}
+        THEN list_transform(generate_series(1, len({_WORDS_SQL}) - {n - 1}),
+             i -> array_to_string(list_slice({_WORDS_SQL}, i, i + {n - 1}), ' '))
+        ELSE []::VARCHAR[] END)"""
+
+
+def _exploded_hashes(df: DataFrame, id_col: str, text_col: str,
+                     n: int) -> DataFrame:
+    """(id, h): one 60-bit md5-derived hash per distinct shingle per doc."""
+    sh = word_shingles(spread(df), id_col, text_col, n)
+    return sh.select("id", F.explode("shingles").alias("s")).select(
+        "id", hashing.h60(F.col("s")).alias("h")
+    )
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 1,
-                  threshold_bp: int = 8000) -> DataFrame:
+                  threshold_bp: int = 8000,
+                  max_df: int = 10_000) -> DataFrame:
     """All doc pairs with n-gram Jaccard ≥ threshold (basis points).
 
     |A∩B| via a self-join on the shingle hash; |A∪B| = |A|+|B|−|A∩B|.
-    Output: id_a < id_b, inter, size_a, size_b, jaccard_bp (integer).
+    Shingles with document frequency > ``max_df`` are removed from every
+    doc's set (sizes AND intersections — one consistent set definition), so
+    a globally-common shingle can never make the self-join quadratic: the
+    worst bucket is max_df², not n_docs². Output: id_a < id_b, inter,
+    size_a, size_b, jaccard_bp (integer).
     """
-    sh = word_shingles(spread(df), id_col, text_col, n)
-    sizes = sh.select("id", F.size("shingles").cast("long").alias("sz"))
-    ex = sh.select(
-        "id", F.explode("shingles").alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("sh"))
-    a = ex.select(F.col("id").alias("id_a"), "sh")
-    b = ex.select(F.col("id").alias("id_b"), "sh")
+    from pyspark.sql.window import Window
+
+    ex = _exploded_hashes(df, id_col, text_col, n)
+    # df-cap as ONE window over the h-partitioning — the a⋈b self-join below
+    # shuffles on h anyway, so Catalyst reuses this exchange (no extra pass)
+    ex = (
+        ex.withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    a = ex.select(F.col("id").alias("id_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), "h")
     inter = (
-        a.join(b, "sh")
+        a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
@@ -107,28 +165,49 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard_bp")
 
 
+def jaccard_pairs_sql(n: int = 1, threshold_bp: int = 8000,
+                      max_df: int = 10_000, table: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    h = hashing.h60_sql("s")
+    return f"""
+        WITH sh AS (
+            SELECT {id_col} AS id, {word_shingles_sql(n)} AS s
+            FROM {table}
+        ),
+        ex0 AS (SELECT id, {h} AS h FROM (SELECT id, unnest(s) AS s FROM sh)),
+        ex AS (SELECT id, h FROM ex0
+               QUALIFY COUNT(*) OVER (PARTITION BY h) <= {max_df}),
+        sz AS (SELECT id, COUNT(*) AS sz FROM ex GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+               CAST(FLOOR(inter * 10000 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_bp
+        FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        WHERE FLOOR(inter * 10000 / (sa.sz + sb.sz - inter)) >= {threshold_bp}
+    """
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 64) -> DataFrame:
     """K-permutation MinHash signature per doc as array<long>.
 
-    Each shingle is hashed ONCE to 64 bits; permutation k re-hashes that
-    fixed-width value with seed k (``xxhash64(h, k)``) — so the per-shingle
-    cost is one string hash + K constant-size hashes, all flat codegen'd
-    expressions. The K mins are plain `min()` aggregates (map-side combine,
-    one shuffle of K longs per doc).
+    Each shingle is hashed ONCE to 60 bits; permutation k is a fused
+    multiply-add over the hash's 30-bit halves (hashing.perm) — flat
+    codegen'd arithmetic, no chained hash calls. The K mins are plain
+    `min()` aggregates (map-side combine, one shuffle of K longs per doc).
 
     An earlier version computed K × shingles hashes with nested
     higher-order-function lambdas (`transform(transform(...))`); Catalyst
     cannot codegen nested lambdas and fell back to per-element interpreted
     evaluation — ~150 µs/hash, 80 s for 5 000 docs. This formulation is
     ~40× faster and is what survives a 100 TB corpus."""
-    sh = word_shingles(spread(df), id_col, text_col, n)
-    ex = sh.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.xxhash64("s").alias("h")
-    )
+    ex = _exploded_hashes(df, id_col, text_col, n)
     mins = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"_m{k}")
+        *[F.min(hashing.perm(F.col("h"), k)).alias(f"_m{k}")
           for k in range(num_hashes)]
     )
     return mins.select(
@@ -151,57 +230,92 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Jaccard s becomes a candidate with prob 1-(1-s^rows)^bands. rows=8
     (bands=8, K=64) keeps recall ≈99% at s≥0.9 while crushing the candidate
     count on self-similar corpora — rows=4 made ~60% of ALL pairs candidates
-    on the synthetic word-soup corpus, i.e. an accidental n² explosion."""
+    on the synthetic word-soup corpus, i.e. an accidental n² explosion.
+
+    The signature rides THROUGH the band join (id → sig is functional), so
+    the signature subtree is computed once and nothing is persisted — round
+    1 `.persist()`'d it and leaked executor storage for the session."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select("id", "sig", band_idx).select(
         "id",
-        "band",
-        F.xxhash64(
+        "sig",
+        hashing.h60(
             F.concat_ws(",", F.col("band"),
                         F.array_join(F.slice("sig", F.col("band") * rows + 1, rows), ",")),
         ).alias("bucket"),
     )
-    a = banded.select(F.col("id").alias("id_a"), "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
     cand = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "match_bp",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                ) * 10000 / num_hashes
-            ),
-        )
-        .withColumn(
-            "match_bp", F.floor(F.col("match_bp")).cast("long"),
-        )
-        .where(F.col("match_bp") >= threshold_bp)
-    )
+    est = cand.withColumn(
+        "match_bp",
+        F.floor(
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ) * 10000 / num_hashes
+        ).cast("long"),
+    ).where(F.col("match_bp") >= threshold_bp)
     return est.select("id_a", "id_b", "match_bp")
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            n: int = 3, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: bit b of the fingerprint = majority vote of
-    bit b over all shingle hashes. Pure bitwise JVM expressions."""
-    sh = word_shingles(spread(df), id_col, text_col, n)
-    ex = sh.select("id", F.explode("shingles").alias("s")).select(
-        "id", F.xxhash64("s").alias("h")
+def minhash_lsh_pairs_sql(n: int = 3, num_hashes: int = 64, bands: int = 8,
+                          threshold_bp: int = 7000, table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    rows = num_hashes // bands
+    perms = ", ".join(
+        f"MIN({hashing.perm_sql('h', k)}) AS m{k}" for k in range(num_hashes)
     )
+    sig_list = "[" + ", ".join(f"m{k}" for k in range(num_hashes)) + "]"
+    buckets = ", ".join(
+        hashing.h60_sql(
+            f"{b} || ',' || array_to_string("
+            f"list_slice(sig, {b * rows + 1}, {(b + 1) * rows}), ',')"
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT {id_col} AS id, {word_shingles_sql(n)} AS s FROM {table}
+        ),
+        ex AS (SELECT id, {hashing.h60_sql('s')} AS h
+               FROM (SELECT id, unnest(s) AS s FROM sh)),
+        sig0 AS (SELECT id, {perms} FROM ex GROUP BY id),
+        sig AS (SELECT id, {sig_list} AS sig FROM sig0),
+        banded AS (SELECT id, sig, unnest([{buckets}]) AS bucket FROM sig),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, a.sig AS sig_a,
+                            b.id AS id_b, b.sig AS sig_b
+            FROM banded a JOIN banded b
+              ON a.bucket = b.bucket AND a.id < b.id
+        )
+        SELECT * FROM (
+            SELECT id_a, id_b,
+                   CAST(FLOOR(len(list_filter(generate_series(1, {num_hashes}),
+                              i -> sig_a[i] = sig_b[i])) * 10000 / {num_hashes})
+                        AS BIGINT) AS match_bp
+            FROM cand
+        ) WHERE match_bp >= {threshold_bp}
+    """
+
+
+SIMHASH_BITS = 60   # h60 hashes carry 60 random bits
+SIMHASH_BAND_BITS = 15  # 4 bands ⇒ pigeonhole covers hamming ≤ 3
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            n: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash per doc: bit b of the fingerprint = majority vote of
+    bit b over all shingle hashes. Pure bitwise JVM expressions."""
+    ex = _exploded_hashes(df, id_col, text_col, n)
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1)
@@ -219,12 +333,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       band_bits: int = 16) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any of the 4 16-bit simhash
+                       band_bits: int = SIMHASH_BAND_BITS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any of the 4 15-bit simhash
     bands (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band), verified by exact
-    hamming distance via bit_count(xor)."""
-    s = simhash(df, id_col, text_col).persist()
-    bands = 64 // band_bits
+    hamming distance via bit_count(xor). The fingerprint (one long) rides
+    through the band join — nothing persisted."""
+    s = simhash(df, id_col, text_col)
+    bands = SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     banded = s.select(
         "id", "simhash",
@@ -250,3 +365,44 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs_sql(n: int = 3, max_hamming: int = 3,
+                           band_bits: int = SIMHASH_BAND_BITS,
+                           table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    bits = SIMHASH_BITS
+    bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_keys = ", ".join(
+        f"({i} || ':' || ((fp >> {i * band_bits}) & {mask}))"
+        for i in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT {id_col} AS id, {word_shingles_sql(n)} AS s FROM {table}
+        ),
+        ex AS (SELECT id, {hashing.h60_sql('s')} AS h
+               FROM (SELECT id, unnest(s) AS s FROM sh)),
+        votes AS (SELECT id, {votes} FROM ex GROUP BY id),
+        fps AS (SELECT id, ({fp}) AS fp FROM votes),
+        banded AS (SELECT id, fp, unnest([{band_keys}]) AS band_key FROM fps),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, a.fp AS fp_a,
+                            b.id AS id_b, b.fp AS fp_b
+            FROM banded a JOIN banded b
+              ON a.band_key = b.band_key AND a.id < b.id
+        )
+        SELECT * FROM (
+            SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+            FROM cand
+        ) WHERE hamming <= {max_hamming}
+    """

@@ -4,12 +4,21 @@
   JVM higher-order functions (zip_with + aggregate in double precision);
   a crossJoin bounded by the (small) query side, ranked per query.
 - ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
-  (sign bits of h deterministic projections) so candidates join only within
-  buckets; exact cosine re-rank inside. At 100 TB the bucket join replaces
-  the n² crossJoin; recall is tunable via n_planes/n_tables.
-- ``embedding_near_pairs``: near-duplicate pairs by cosine ≥ τ.
+  (sign bits of n_planes deterministic projections) so candidates join only
+  within buckets; exact cosine re-rank inside. At 100 TB the bucket join
+  replaces the n² crossJoin; recall is tunable via n_planes/n_tables.
+- ``embedding_near_pairs``: near-duplicate pairs by cosine ≥ τ — LSH-bucketed
+  by DEFAULT (the exact n² crossJoin survives only behind ``use_lsh=False``
+  for small verification runs; round 1 shipped it backwards).
 
-No numpy/pandas in the hot path; the fold runs in whole-stage codegen.
+The hyperplanes are INTEGER weight matrices derived driver-side from md5
+(hashing.plane_weights) and embedded as literals in both the Spark plan and
+the DuckDB oracle; vectors are fixed-pointed to e6 ints first, so the
+projection sign is EXACT integer arithmetic — no float-summation-order
+hazard between engines, and far cheaper than round 1's per-component
+xxhash64 weights. Each operator has a ``*_sql`` DuckDB twin.
+
+No numpy/pandas in the hot path; the folds run in whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -17,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from canal_spark.functions import hashing
+
+DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
 
 
 def dot(a, b) -> Column:
@@ -72,37 +85,54 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def hyperplane_bucket(vec_col, n_planes: int = 12, table: int = 0) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of n deterministic
-    pseudo-random projections. Plane p component j = a zero-mean hash of
-    (table, p, j) — reproducible on any engine, no stored model."""
+# ------------------------------------------------------------------ LSH
+
+def to_e6(vec_col) -> Column:
+    """Fixed-point the vector: e6[j] = floor(v[j]·10⁶) as long. float→double
+    widening and ·10⁶ are deterministic IEEE ops — identical in DuckDB."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(v, lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+
+
+def hyperplane_bucket(e6_col, n_planes: int = 10, table: int = 0,
+                      dim: int = DIM) -> Column:
+    """LSH bucket id from a fixed-point vector: bit p = sign of the exact
+    integer projection onto literal plane p (|Σ| < dim·10⁶·5·10⁵ ≈ 2⁴⁵)."""
+    e6 = F.col(e6_col) if isinstance(e6_col, str) else e6_col
+    planes = hashing.plane_weights(n_planes, dim, table)
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        # projection = sum_j v[j] * w_pj, w_pj in [-0.5, 0.5)
+    for p, w in enumerate(planes):
+        warr = F.array(*[F.lit(c).cast("long") for c in w])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, j: x.cast("double")
-                * (
-                    (
-                        F.pmod(
-                            F.xxhash64(F.concat_ws(":", F.lit(table), F.lit(p), j)),
-                            F.lit(1_000_000),
-                        ).cast("double")
-                        / 1_000_000.0
-                    )
-                    - 0.5
-                ),
-            ),
-            F.lit(0.0),
+            F.zip_with(e6, warr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long"))
         )
     return bucket
+
+
+E6_SQL = ("list_transform({vec}, "
+          "x -> CAST(FLOOR(x::DOUBLE * 1000000) AS BIGINT))")
+
+
+def hyperplane_bucket_sql(e6_expr: str, n_planes: int = 10, table: int = 0,
+                          dim: int = DIM) -> str:
+    """DuckDB twin of ``hyperplane_bucket`` over an ALREADY fixed-pointed
+    e6 vector (compute ``E6_SQL`` once in a CTE — inlining it per plane made
+    the oracle 15× slower). list_dot_product of BIGINT lists is exact below
+    2⁵³ (our bound: 2⁴⁵)."""
+    planes = hashing.plane_weights(n_planes, dim, table)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({e6_expr}, "
+        f"{[int(c) for c in w]}::BIGINT[]) > 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    return f"({bits})"
 
 
 def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -113,17 +143,20 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     Shuffle is linear in |emb| × n_tables (bucket-partitioned join), never
     |emb| × |queries|."""
     def bucketed(df, side):
-        rows = []
-        for t in range(n_tables):
-            rows.append(
-                df.select(
-                    F.col(id_col).alias(f"{side}_id"),
-                    F.col(vec_col).alias(f"{side}_vec"),
-                    F.concat_ws(
-                        ":", F.lit(t), hyperplane_bucket(vec_col, n_planes, t)
-                    ).alias("bucket"),
-                )
+        base = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            to_e6(vec_col).alias("_e6"),
+        )
+        rows = [
+            base.select(
+                f"{side}_id", f"{side}_vec",
+                F.concat_ws(
+                    ":", F.lit(t), hyperplane_bucket("_e6", n_planes, t)
+                ).alias("bucket"),
             )
+            for t in range(n_tables)
+        ]
         out = rows[0]
         for r in rows[1:]:
             out = out.unionByName(r)
@@ -147,20 +180,66 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def lsh_bucketed_topk_sql(k: int = 5, n_planes: int = 10, n_tables: int = 4,
+                          query_pred: str = "vec_id < 8",
+                          table: str = "embeddings") -> str:
+    def bucket_union(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id, "
+            f"({t} || ':' || {hyperplane_bucket_sql('e6', n_planes, t)})"
+            f" AS bucket FROM {src}"
+            for t in range(n_tables)
+        )
+
+    cos = ("list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))"
+           " * sqrt(list_dot_product(c.v, c.v)))")
+    e6 = E6_SQL.format(vec="embedding")
+    return f"""
+        WITH base AS (SELECT vec_id, {e6} AS e6 FROM {table}),
+        qbase AS (SELECT * FROM base WHERE vec_id IN
+                  (SELECT vec_id FROM {table} WHERE {query_pred})),
+        qb AS ({bucket_union('qbase')}),
+        cb AS ({bucket_union('base')}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+            FROM cb c JOIN qb q ON c.bucket = q.bucket
+            WHERE c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.q_id, cand.n_id, {cos} AS sim
+            FROM cand
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}) q
+              ON q.vec_id = cand.q_id
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}) c
+              ON c.vec_id = cand.n_id
+        )
+        SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+               CAST(FLOOR(sim * 1000) AS BIGINT) AS sim_e3
+        FROM (
+            SELECT q_id, n_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, n_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def embedding_near_pairs(emb: DataFrame, threshold_e3: int = 990,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         use_lsh: bool = False,
+                         use_lsh: bool = True,
                          n_planes: int = 8) -> DataFrame:
-    """Near-duplicate vector pairs with cosine*1000 ≥ threshold.
+    """Near-duplicate vector pairs with cosine·1000 ≥ threshold.
 
-    use_lsh=True joins only within hyperplane buckets (scale path);
-    False is the exact n² baseline for small/verification runs."""
+    Default (``use_lsh=True``) joins only within hyperplane buckets — the
+    shuffle is linear in |emb|, the join quadratic only per bucket (≈n²/2ᵖ).
+    ``use_lsh=False`` is the exact n² crossJoin, ONLY for small verification
+    runs — at 100 TB it is 10¹⁸ pairs and must never be the default."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if use_lsh:
-        a = a.withColumn("bucket", hyperplane_bucket("va", n_planes, 0))
-        b = b.withColumn("bucket", hyperplane_bucket("vb", n_planes, 0))
+        a = a.withColumn("bucket", hyperplane_bucket(to_e6("va"), n_planes, 0))
+        b = b.withColumn("bucket", hyperplane_bucket(to_e6("vb"), n_planes, 0))
         pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
@@ -171,3 +250,24 @@ def embedding_near_pairs(emb: DataFrame, threshold_e3: int = 990,
         .where(F.col("sim_e3") >= threshold_e3)
         .select("id_a", "id_b", "sim_e3")
     )
+
+
+def embedding_near_pairs_sql(threshold_e3: int = 990, use_lsh: bool = True,
+                             n_planes: int = 8,
+                             table: str = "embeddings") -> str:
+    bucket = hyperplane_bucket_sql("e6", n_planes, 0)
+    e6 = E6_SQL.format(vec="embedding")
+    src = (f"SELECT vec_id, v, {bucket} AS bucket FROM "
+           f"(SELECT vec_id, embedding::DOUBLE[] AS v, {e6} AS e6 FROM {table})")
+    join = ("FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+            if use_lsh else
+            "FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id")
+    return f"""
+        WITH e AS ({src}),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+              {join})
+        SELECT id_a, id_b, CAST(FLOOR(sim * 1000) AS BIGINT) AS sim_e3
+        FROM p WHERE FLOOR(sim * 1000) >= {threshold_e3}
+    """

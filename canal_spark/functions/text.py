@@ -53,13 +53,19 @@ def stopword_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram-heuristic language ID: argmax of per-language stopword counts
-    (ties → 'und' when all zero, else lexicographic first of the max)."""
+    (ties → 'und' when all zero, else lexicographic first of the max).
+
+    Total over the whole input domain: NULL text → 'und' (counts are NULL in
+    every engine, so best IS NULL) — the oracle SQL has the identical branch,
+    keeping engine/oracle parity even on data outside today's fixtures
+    (ADVICE r01: a dangling ELSE classified NULL text as 'fr' in DuckDB
+    while Spark returned NULL)."""
     out = stopword_counts(df, text_col)
     best = F.greatest(*[F.col(f"sw_{lang}") for lang in STOPWORDS])
-    guess = F.when(best == 0, F.lit("und"))
+    guess = F.when(best.isNull() | (best == 0), F.lit("und"))
     for lang in sorted(STOPWORDS):
         guess = guess.when(F.col(f"sw_{lang}") == best, F.lit(lang))
-    return out.withColumn("lang_guess", guess)
+    return out.withColumn("lang_guess", guess.otherwise(F.lit("fr")))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -82,7 +82,7 @@ class TestSimilarity:
 
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         qs = emb.where(F.col("vec_id") < 3)
-        got = dedup_rows = similarity.cosine_topk(emb, qs, k=3).collect()
+        got = similarity.cosine_topk(emb, qs, k=3).collect()
         # numpy ground truth
         data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
                 for r in emb.collect()}

@@ -65,9 +65,14 @@ def run_at(cores: int, zpath: str, log_dir: str, base_path: str,
         log_dir, base_path, table_dir, "32", str(repeats), stage,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"replay_job at {cores} cores failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
     shutil.rmtree(table_dir, ignore_errors=True)
-    return json.loads(line)
+    return json.loads(lines[-1])
 
 
 def build_scaled_wire_fixture(n_events_base: int = 1_000_000,
