@@ -15,20 +15,12 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 SUBSCRIBED = ("train", "tokseq")
 BASE_COLS = ["doc_id", "tokens", "n_tok", "source"]
-
-# DDLs the schema registry must ignore — the reference skip-list in
-# MemoryTableMeta.apply (parse/.../tsdb/MemoryTableMeta.java:76-84).
-_IGNORED_DDL = re.compile(
-    r"(?i)^\s*(create\s+(unique\s+)?index|drop\s+index|grant|revoke|flush|"
-    r"set\s|analyze|optimize|repair|comment)"
-)
 
 
 def apply_events_py(base_rows: dict[str, dict], events: list[dict],
@@ -46,37 +38,34 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
         if (ev["schema_name"], ev["table_name"]) != SUBSCRIBED:
             continue
         if ev["is_ddl"]:
-            sql = (ev["sql"] or "").strip().rstrip(";")
-            if _IGNORED_DDL.match(sql):
-                continue
-            m = re.match(r"(?i)alter\s+table\s+\S+\s+add\s+column\s+(\w+)\s+\w+", sql)
-            if m:
-                c = m.group(1)
-                if c not in cols:
-                    cols.append(c)
+            # classify with the SHARED grammar (schema/ddl.py) — the oracle
+            # must track exactly the column set the engine tracks; the
+            # *application* semantics below stay independent (a sequential
+            # dict fold, nothing like the engine's metadata commits)
+            from canal_spark.schema.ddl import parse_ddl_statements
+
+            for cmd in parse_ddl_statements(ev["sql"] or ""):
+                if cmd.kind == "ADD_COLUMN" and cmd.column not in cols:
+                    _insert_at(cols, cmd.column, cmd.position)
                     for row in state.values():
-                        row.setdefault(c, None)
-                continue
-            m = re.match(r"(?i)alter\s+table\s+\S+\s+rename\s+column\s+(\w+)\s+to\s+(\w+)", sql)
-            if m:
-                old, new = m.group(1), m.group(2)
-                if old in cols:
-                    cols[cols.index(old)] = new
+                        row.setdefault(cmd.column, None)
+                elif cmd.kind == "RENAME_COLUMN" and cmd.column in cols:
+                    cols[cols.index(cmd.column)] = cmd.new_name
                     for row in state.values():
-                        row[new] = row.pop(old, None)
-                continue
-            m = re.match(r"(?i)alter\s+table\s+\S+\s+drop\s+column\s+(\w+)", sql)
-            if m:
-                c = m.group(1)
-                if c in cols and c not in BASE_COLS:
-                    cols.remove(c)
+                        row[cmd.new_name] = row.pop(cmd.column, None)
+                elif cmd.kind == "CHANGE_COLUMN" and cmd.column in cols:
+                    cols[cols.index(cmd.column)] = cmd.new_name
                     for row in state.values():
-                        row.pop(c, None)
-                continue
-            if re.match(r"(?i)truncate\s", sql):
-                state.clear()
-                continue
-            continue  # unknown DDL: no-op on data
+                        row[cmd.new_name] = row.pop(cmd.column, None)
+                elif (cmd.kind == "DROP_COLUMN" and cmd.column in cols
+                      and cmd.column not in BASE_COLS):
+                    cols.remove(cmd.column)
+                    for row in state.values():
+                        row.pop(cmd.column, None)
+                elif cmd.kind == "TRUNCATE":
+                    state.clear()
+                # MODIFY_COLUMN: values are untyped python objects — no-op
+            continue
 
         op = ev["event_type"]
         before, after = ev.get("before"), ev.get("after")
@@ -91,6 +80,17 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
         elif op == "DELETE":
             state.pop(before["doc_id"], None)
     return state, cols
+
+
+def _insert_at(cols: list[str], name: str,
+               position: tuple[str, str | None] | None) -> None:
+    idx = len(cols)
+    if position is not None:
+        if position[0] == "FIRST":
+            idx = 0
+        elif position[0] == "AFTER" and position[1] in cols:
+            idx = cols.index(position[1]) + 1
+    cols.insert(idx, name)
 
 
 def _project(img: dict, cols: list[str]) -> dict:

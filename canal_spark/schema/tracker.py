@@ -17,7 +17,7 @@ version, and ``last_ddl_lsn`` in the snapshot fences replayed/duplicate DDL
 
 from __future__ import annotations
 
-from canal_spark.schema.ddl import DdlCommand, parse_ddl
+from canal_spark.schema.ddl import DdlCommand, parse_ddl_statements
 from canal_spark.table.lake import LakeTable
 
 
@@ -32,29 +32,62 @@ class SchemaTracker:
     def last_ddl_lsn(self) -> str:
         return self.table.snap.get("last_ddl_lsn", "")
 
-    def apply_ddl(self, sql: str, lsn: str) -> DdlCommand:
-        """Apply one DDL at LSN to the sink (idempotent: replays are fenced
-        by last_ddl_lsn, unknown/no-op statements are skipped)."""
-        cmd = parse_ddl(sql)
+    def apply_ddl(self, sql: str, lsn: str) -> list[DdlCommand]:
+        """Apply one DDL statement at LSN to the sink — a multi-clause
+        ALTER applies each clause in order under ONE LSN fence (idempotent:
+        replays are fenced by last_ddl_lsn, no-op statements are skipped)."""
+        cmds = parse_ddl_statements(sql)
+        if lsn <= self.last_ddl_lsn():
+            return []
+        applied: list[DdlCommand] = []
+        for cmd in cmds:
+            if self._apply_one(cmd, lsn):
+                applied.append(cmd)
+        # fence the LSN in the same snapshot lineage even if every clause
+        # was a no-op — a replayed statement must not re-enter the loop
+        self.table._commit_meta(last_ddl_lsn=lsn)
+        return applied
+
+    def _apply_one(self, cmd: DdlCommand, lsn: str) -> bool:
         if cmd.kind == "IGNORE":
-            return cmd
+            return False
         if cmd.table is not None and (
             (cmd.schema or self.subscribed[0]), cmd.table
         ) != self.subscribed:
-            return DdlCommand(kind="IGNORE", sql=sql)
-        if lsn <= self.last_ddl_lsn():
-            return DdlCommand(kind="IGNORE", sql=sql)
+            return False
 
+        cols = self.table.logical_columns()
         if cmd.kind == "ADD_COLUMN":
-            self.table.alter_add_column(cmd.column, cmd.dtype)
+            self.table.alter_add_column(cmd.column, cmd.dtype,
+                                        position=cmd.position)
         elif cmd.kind == "RENAME_COLUMN":
-            if cmd.column in self.table.logical_columns():
-                self.table.alter_rename_column(cmd.column, cmd.new_name)
+            if cmd.column not in cols:
+                return False
+            self.table.alter_rename_column(cmd.column, cmd.new_name)
+        elif cmd.kind == "MODIFY_COLUMN":
+            if cmd.column not in cols:
+                return False
+            self.table.alter_modify_column(cmd.column, cmd.dtype)
+        elif cmd.kind == "CHANGE_COLUMN":
+            if cmd.column not in cols:
+                return False
+            self.table.alter_modify_column(cmd.column, cmd.dtype,
+                                           new_name=cmd.new_name)
         elif cmd.kind == "DROP_COLUMN":
-            if cmd.column in self.table.logical_columns():
-                self.table.alter_drop_column(cmd.column)
+            if cmd.column not in cols:
+                return False
+            self.table.alter_drop_column(cmd.column)
         elif cmd.kind == "TRUNCATE":
             self.table.truncate(lsn=lsn)
-        # fence the LSN in the same snapshot lineage
-        self.table._commit_meta(last_ddl_lsn=lsn)
-        return cmd
+        elif cmd.kind == "RENAME_TABLE":
+            # the subscription follows the rename (DatabaseTableMeta keeps
+            # tracking the renamed table); record it in the snapshot
+            new = cmd.new_name or ""
+            if "." in new:
+                self.subscribed = tuple(new.split(".", 1))
+            else:
+                self.subscribed = (self.subscribed[0], new)
+            self.table._commit_meta(subscribed=list(self.subscribed))
+        else:
+            return False
+        return True

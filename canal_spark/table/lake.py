@@ -147,10 +147,15 @@ class LakeTable:
 
     def _physical_schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.snap
-        fields = [
-            T.StructField(c["physical"], _type_from_json(c["type"]), True)
-            for c in snap["columns"]
-        ]
+        fields = []
+        for c in snap["columns"]:
+            fields.append(
+                T.StructField(c["physical"], _type_from_json(c["type"]), True))
+            # superseded physicals from MODIFY/CHANGE (schema evolution):
+            # old files still carry them under the pre-change type
+            for p in c.get("prev", []):
+                fields.append(
+                    T.StructField(p["physical"], _type_from_json(p["type"]), True))
         fields.append(T.StructField("_source_lsn", T.StringType(), True))
         fields.append(T.StructField("_deleted", T.BooleanType(), True))
         return T.StructType(fields)
@@ -183,7 +188,18 @@ class LakeTable:
         return df.select(*self._logical_select(snap))
 
     def _logical_select(self, snap: dict):
-        sel = [F.col(c["physical"]).alias(c["name"]) for c in snap["columns"]]
+        # a MODIFY/CHANGE'd column reads as coalesce(new physical,
+        # CAST(old physical)) — metadata-only type evolution (Iceberg-style
+        # read-time promotion, generalized to any cast-able conversion);
+        # rewritten buckets materialize the new physical, old files convert
+        # lazily in the scan
+        sel = []
+        for c in snap["columns"]:
+            cur = F.col(c["physical"])
+            tgt = _type_from_json(c["type"])
+            for p in c.get("prev", []):  # newest-first chain
+                cur = F.coalesce(cur, F.col(p["physical"]).cast(tgt))
+            sel.append(cur.alias(c["name"]))
         sel += [F.col(c) for c in SYS_COLS]
         return sel
 
@@ -282,9 +298,15 @@ class LakeTable:
         trunc = self.snap.get("truncate_lsn", "")
         if trunc:
             changes = changes.where(F.col("lsn") > trunc)
-        # prefix change columns so the full-outer join is unambiguous
+        # prefix change columns so the full-outer join is unambiguous, and
+        # cast each to the sink's CURRENT type (the target column-type cache
+        # semantics of RdbSyncService — client-adapter/rdb/.../
+        # RdbSyncService.java:318-340): a no-op when types already align,
+        # and after a MODIFY it stops a narrower incoming value from
+        # poisoning the physical file's declared type
+        sink_types = {f.name: f.dataType for f in self.schema().fields}
         chg = changes.select(
-            *[F.col(c).alias(f"_c_{c}") for c in data_cols],
+            *[F.col(c).cast(sink_types[c]).alias(f"_c_{c}") for c in data_cols],
             F.col("op").alias("_c_op"),
             F.col("lsn").alias("_c_lsn"),
             bucket_expr(key, self.n_buckets).alias("_b"),
@@ -361,12 +383,22 @@ class LakeTable:
         snap.update(updates)
         self._write_snapshot(snap)
 
-    def alter_add_column(self, name: str, dtype: T.DataType) -> None:
+    def alter_add_column(self, name: str, dtype: T.DataType,
+                         position: tuple[str, str | None] | None = None) -> None:
         if name in self.logical_columns():
             return
         cols = list(self.snap["columns"])
-        cols.append({"name": name, "physical": f"{name}_{uuid.uuid4().hex[:6]}",
-                     "type": dtype.json()})
+        entry = {"name": name, "physical": f"{name}_{uuid.uuid4().hex[:6]}",
+                 "type": dtype.json()}
+        idx = len(cols)
+        if position is not None:  # MySQL FIRST / AFTER col ordering
+            if position[0] == "FIRST":
+                idx = 0
+            elif position[0] == "AFTER":
+                names = [c["name"] for c in cols]
+                if position[1] in names:
+                    idx = names.index(position[1]) + 1
+        cols.insert(idx, entry)
         self._commit_meta(columns=cols)
 
     def alter_rename_column(self, old: str, new: str) -> None:
@@ -374,6 +406,27 @@ class LakeTable:
         for c in cols:
             if c["name"] == old:
                 c["name"] = new
+        self._commit_meta(columns=cols)
+
+    def alter_modify_column(self, name: str, dtype: T.DataType,
+                            new_name: str | None = None) -> None:
+        """MODIFY [or CHANGE, with new_name] a column's type in metadata
+        only: the column moves to a fresh physical name of the new type and
+        keeps its old physicals on a ``prev`` chain; reads coalesce through
+        the chain with a cast (see _logical_select). No data rewrite — the
+        change is one snapshot commit, like the reference's registry update
+        (MemoryTableMeta.apply) + target-side ALTER mirror."""
+        cols = [dict(c) for c in self.snap["columns"]]
+        for c in cols:
+            if c["name"] != name:
+                continue
+            if new_name:
+                c["name"] = new_name
+            if c["type"] != dtype.json():
+                c["prev"] = ([{"physical": c["physical"], "type": c["type"]}]
+                             + list(c.get("prev", [])))
+                c["physical"] = f"{c['name']}_{uuid.uuid4().hex[:6]}"
+                c["type"] = dtype.json()
         self._commit_meta(columns=cols)
 
     def alter_drop_column(self, name: str) -> None:

@@ -151,3 +151,54 @@ def test_compact_and_expire(spark, tmp_work):
     removed = t.expire_snapshots(keep_last=1)
     assert removed > 0
     assert {r["doc_id"] for r in t.read().collect()} == {"a", "c"}
+
+
+def test_modify_column_type_evolution(spark, tmp_work):
+    """MODIFY COLUMN is metadata-only: old files keep the old physical
+    column and convert lazily on read (coalesce + cast chain); buckets
+    rewritten by later MERGEs materialize the new physical."""
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    files_v1 = dict(t.snap["files"])
+    t.alter_modify_column("n_tok", T.LongType())
+    assert t.snap["files"] == files_v1  # no data rewrite
+    assert t.schema()["n_tok"].dataType == T.LongType()
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["n_tok"] == 2 and got["c"]["n_tok"] == 3  # values survive
+    assert dict(t.read().dtypes)["n_tok"] == "bigint"
+
+    # merge AFTER the modify: new rows land in the new physical; old rows
+    # in untouched buckets still read through the cast chain
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.StringType()),
+    ])
+    ch = spark.createDataFrame(
+        [("a", [9], 5_000_000_000, "web", "U", "lsn-9")], schema)
+    t.merge_apply(ch)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["n_tok"] == 5_000_000_000  # needs the wider type
+    assert got["b"]["n_tok"] == 1 and got["c"]["n_tok"] == 3
+
+
+def test_change_column_rename_and_retype(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    t.alter_modify_column("n_tok", T.StringType(), new_name="n_tok_str")
+    assert "n_tok_str" in t.logical_columns()
+    assert "n_tok" not in t.logical_columns()
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["c"]["n_tok_str"] == "3"  # int → string cast on read
+
+
+def test_add_column_position(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    t.alter_add_column("lead", T.IntegerType(), position=("FIRST", None))
+    assert t.logical_columns()[0] == "lead"
+    t.alter_add_column("mid", T.StringType(), position=("AFTER", "doc_id"))
+    assert t.logical_columns()[:3] == ["lead", "doc_id", "mid"]
+    # reads still resolve every column after the reordering
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["lead"] is None and got["a"]["tokens"] == [1, 2]

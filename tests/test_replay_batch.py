@@ -135,3 +135,73 @@ def test_lww_collapse_variants_agree(spark, tmp_work, variant):
     a = {(r["doc_id"], r["op"], r["lsn"]) for r in rows}
     b = {(r["doc_id"], r["op"], r["lsn"]) for r in other.collect()}
     assert a == b
+
+
+def test_replay_with_full_alter_grammar(spark, tmp_work):
+    """Round-2 grammar: MODIFY (type widen), CHANGE (rename+retype),
+    multi-clause ALTER, positioned ADD — engine state must still equal the
+    sequential oracle (which shares the grammar but applies it as a plain
+    dict fold)."""
+    ddl = [
+        (400, "ALTER TABLE train.tokseq MODIFY COLUMN n_tok BIGINT"),
+        (900, "ALTER TABLE train.tokseq ADD COLUMN q1 TEXT, ADD q2 TEXT"),
+        (1400, "ALTER TABLE train.tokseq ADD COLUMN lead_c TEXT FIRST"),
+        (1900, "ALTER TABLE train.tokseq CHANGE COLUMN q1 quality VARCHAR(32)"),
+        (2300, "ALTER TABLE train.tokseq ADD INDEX iq (q2)"),  # shape no-op
+        (2600, "ALTER TABLE train.tokseq DROP COLUMN q2, DROP COLUMN lead_c"),
+    ]
+    spec = CdcLogSpec(n_events=3000, seed=21, events_per_file=700,
+                      ddl_script=ddl, pk_change_frac=0.03)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    stats = replay(spark, log_dir, table, batch_id="full")
+    assert stats.ddls == 6
+    table.refresh()
+    assert table.logical_columns() == ["doc_id", "tokens", "n_tok", "source",
+                                       "quality"]
+    assert table.schema()["n_tok"].dataType == T.LongType()
+    _check(spark, table, base, log_dir)
+
+
+def test_resume_into_ddl_split_range(spark, tmp_work):
+    """Crash BETWEEN a DDL's registry commit and the following range's
+    MERGE (VERDICT r01 missing #5): the resumed replay must skip the
+    already-merged range (batch ledger), skip the already-applied DDL
+    (last_ddl_lsn fence), and apply only the tail — ending in the exact
+    oracle state. Mirrors DatabaseTableMeta.rollback-to-position semantics
+    at the sink."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.pipeline import apply_dml_range, prepare_events, read_event_log
+    from canal_spark.schema.tracker import SchemaTracker
+
+    ddl_sql = "ALTER TABLE train.tokseq ADD COLUMN quality_tier TEXT"
+    spec = CdcLogSpec(n_events=2500, seed=31, events_per_file=600,
+                      ddl_script=[(1200, ddl_sql)], pk_change_frac=0.03)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+
+    # --- partial run: merge the pre-DDL range, mirror the DDL, then "crash"
+    ev = prepare_events(read_event_log(spark, log_dir))
+    ddl_row = ev.where(F.col("is_ddl")).select("lsn", "sql").collect()
+    assert len(ddl_row) == 1
+    ddl_lsn = ddl_row[0]["lsn"]
+    dml = ev.where(~F.col("is_ddl"))
+    # the same sub-range batch id replay() itself would use
+    apply_dml_range(dml, table, None, ddl_lsn, batch_id="full/r0")
+    SchemaTracker(table.refresh()).apply_ddl(ddl_sql, ddl_lsn)
+    table.refresh()
+    assert "quality_tier" in table.logical_columns()
+    v_crash = table.version
+
+    # --- resume: full replay under the same outer batch id
+    stats = replay(spark, log_dir, table.refresh(), batch_id="full")
+    table.refresh()
+    # r0 must have been skipped by the ledger (merge was a no-op commit)
+    assert any(m.get("skipped") for m in stats.merges)
+    _check(spark, table, base, log_dir)
+
+    # --- replay the whole batch once more: everything fenced, state stable
+    v_done = table.version
+    replay(spark, log_dir, table.refresh(), batch_id="full")
+    assert table.refresh().version == v_done
+    _check(spark, table, base, log_dir)
+    assert v_done > v_crash
