@@ -94,6 +94,43 @@ def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
     return table.refresh().read()
 
 
+def _run_group_replay(spark: SparkSession) -> DataFrame:
+    """Sharded-upstream replay (GroupEventParser analog): two disjoint-key
+    shard logs merge into one table in (execute_ts, shard, lsn) timeline
+    order. Engine-level (non-SQL) — value parity vs the merged-timeline
+    python oracle is asserted in tests/test_group_streaming.py and
+    tests/test_replay_batch.py::test_group_replay_batch."""
+    import pyarrow as pa
+
+    from canal_spark.fixtures.generator import (CdcLogSpec,
+                                                generate_base_table,
+                                                generate_cdc_log)
+    from canal_spark.pipeline import group_replay
+    from canal_spark.table.lake import LakeTable
+
+    work = os.path.join(_WORK, "q_group_replay")
+    shutil.rmtree(work, ignore_errors=True)
+    bases, dirs = [], []
+    for i in range(2):
+        b = generate_base_table(150, seed=7 + i, id_offset=i * 1_000_000)
+        spec = CdcLogSpec(n_events=1200, seed=7 + i, events_per_file=400,
+                          pk_change_frac=0.02, other_table_frac=0.03,
+                          doc_offset=10_000_000 * (i + 1))
+        d = os.path.join(work, f"shard{i}")
+        generate_cdc_log(d, spec, b)
+        bases.append(b)
+        dirs.append(d)
+    base_path = os.path.join(work, "base_parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(pa.concat_tables(bases), base_path + ".parquet")
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path + ".parquet")
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"),
+                             BASE_SCHEMA, key_col="doc_id", n_buckets=8,
+                             df=base_df)
+    group_replay(spark, dirs, table.refresh())
+    return table.refresh().read()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC replay of the synthetic binlog over the tokenized
     sf0.001 documents base table; returns the final sink state."""
@@ -166,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     is asserted by tests/; the driver records a rows-only check here)
     q["cdc_replay_state"] = lambda s, d: _run_replay(
         s, d, "q_replay", n_events=2000, seed=7)
+    q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     return q
 
 

@@ -61,20 +61,25 @@ class CdcLogSpec:
     events_per_file: int = 50_000     # segment roll size (txn-aligned)
     min_tok: int = 4
     max_tok: int = 64
+    doc_offset: int = 10_000_000  # first INSERTed doc id (disjoint per shard
+    #                               for GroupEventParser-style sharded logs)
     ddl_script: list[tuple[int, str]] = field(default_factory=list)
     # [(event_index, sql)] — injected as single-event transactions when the
     # running ROWDATA count crosses event_index.
 
 
 def generate_base_table(n_docs: int, seed: int = 42,
-                        min_tok: int = 4, max_tok: int = 64) -> pa.Table:
-    """Base tokseq table (doc_id, tokens, n_tok, source) — FIXTURES.md §1."""
+                        min_tok: int = 4, max_tok: int = 64,
+                        id_offset: int = 0) -> pa.Table:
+    """Base tokseq table (doc_id, tokens, n_tok, source) — FIXTURES.md §1.
+    ``id_offset`` keys disjoint per-shard bases for sharded-log fixtures."""
     rng = np.random.default_rng(seed)
     lens = rng.integers(min_tok, max_tok + 1, size=n_docs)
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     pool = rng.integers(0, VOCAB, size=int(offsets[-1]), dtype=np.int32)
-    doc_ids = pa.array([f"doc{i:09d}" for i in range(n_docs)], pa.string())
+    doc_ids = pa.array(
+        [f"doc{i + id_offset:09d}" for i in range(n_docs)], pa.string())
     tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(pool))
     n_tok = pa.array(lens.astype(np.int32))
     source = pa.array(rng.choice(SOURCES, size=n_docs), pa.string())
@@ -255,7 +260,7 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
                 "doc_id": docs[i], "source": srcs[i], "n_tok": int(lens[i]),
                 "tok_lo": lo + int(offs[i]), "tok_hi": lo + int(offs[i + 1]),
             }
-    next_doc = (base.num_rows if base is not None else 0) + 10_000_000
+    next_doc = (base.num_rows if base is not None else 0) + spec.doc_offset
     live_keys: list[str] = list(live.keys())   # sampling view (may be stale)
     hot = live_keys[: spec.hot_keys]
 

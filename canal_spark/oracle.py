@@ -121,3 +121,28 @@ def oracle_final_state(base: pa.Table | None, log_dir: str) -> tuple[dict[str, d
             row["tokens"] = tuple(row["tokens"])
             base_rows[row["doc_id"]] = row
     return apply_events_py(base_rows, read_log_events(log_dir))
+
+
+def oracle_group_final_state(
+    bases: list[pa.Table | None], log_dirs: list[str],
+) -> tuple[dict[str, dict], list[str]]:
+    """Sharded-upstream oracle (GroupEventParser timeline semantics): all
+    shards' events fold in ONE sequence ordered by
+    (execute_ts, shard index, gtid, binlog file, pos) — the exact total
+    order of streaming/group.merged_lsn_col. Identical DDL clones from
+    every shard are harmless: the fold's apply is shape-idempotent."""
+    base_rows: dict[str, dict] = {}
+    for base in bases:
+        if base is None:
+            continue
+        for row in base.to_pylist():
+            row["tokens"] = tuple(row["tokens"])
+            base_rows[row["doc_id"]] = row
+    merged: list[tuple] = []
+    for src, d in enumerate(log_dirs):
+        for ev in read_log_events(d):
+            merged.append(
+                ((ev["execute_ts"], src, ev["gtid_seq"], ev["binlog_file"],
+                  ev["binlog_pos"]), ev))
+    merged.sort(key=lambda p: p[0])
+    return apply_events_py(base_rows, [ev for _, ev in merged])

@@ -163,16 +163,58 @@ def apply_events(events: DataFrame, table: LakeTable,
     return stats
 
 
+def group_replay(spark: SparkSession, log_dirs: list[str], table: LakeTable,
+                 table_regex: str = r"^train\.tokseq$",
+                 batch_id: str | None = None,
+                 salt_partitions: int | None = None,
+                 wire: bool = False) -> ReplayStats:
+    """Batch replay of N sharded logs as ONE timeline (GroupEventParser
+    analog, batch form): per-shard scans union under a ``src_id`` tag and
+    every event gets the merged (execute_ts, src, native-lsn) LSN, so the
+    LWW collapse and the MERGE fence order by global time exactly like
+    streaming/group.GroupStreamingReplay. With ``wire=False`` the shards
+    must share one image-struct width (schema-evolving shard sets ship
+    before/after as JSON wire — struct widths can't union)."""
+    from functools import reduce
+
+    from canal_spark.streaming.group import merged_lsn_col
+
+    if batch_id is not None and table.is_applied(batch_id):
+        return ReplayStats()
+    raws = [
+        read_event_log(spark, d).withColumn("src_id", F.lit(i))
+        for i, d in enumerate(log_dirs)
+    ]
+    raw = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), raws)
+    ev = prepare_events(raw, table_regex=table_regex)
+    ev = ev.withColumn("lsn", merged_lsn_col())
+    return apply_events(ev, table, batch_id=batch_id,
+                        salt_partitions=salt_partitions, wire=wire)
+
+
 def replay(spark: SparkSession, log_dir: str, table: LakeTable,
            files: list[str] | None = None,
            table_regex: str = r"^train\.tokseq$",
            batch_id: str | None = None,
            salt_partitions: int | None = None,
-           wire: bool = False) -> ReplayStats:
-    """Batch replay of a (portion of the) event log into the sink table."""
+           wire: bool = False,
+           start: "StartPosition | None" = None) -> ReplayStats:
+    """Batch replay of a (portion of the) event log into the sink table.
+
+    ``start`` (streaming/positions.find_start_position) bootstraps from a
+    timestamp or (file, pos) cursor: pre-boundary segments never enter the
+    scan, and the boundary predicate pushes down to parquet row groups.
+    Overlap with already-applied events is fenced by the LSN guard, so an
+    early start is exactly-once-safe."""
     if batch_id is not None and table.is_applied(batch_id):
         return ReplayStats()
+    if start is not None and files is None:
+        if not start.files:
+            return ReplayStats()  # boundary is past the end of the log
+        files = start.files
     raw = read_event_log(spark, log_dir, files)
+    if start is not None:
+        raw = raw.where(start.predicate())
     ev = prepare_events(raw, table_regex=table_regex)
     return apply_events(ev, table, batch_id=batch_id,
                         salt_partitions=salt_partitions, wire=wire)

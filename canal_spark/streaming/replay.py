@@ -61,6 +61,7 @@ class StreamingReplay:
         max_files_per_trigger: int = 1,
         salt_partitions: int | None = None,
         txn_aligned: bool = True,
+        start=None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -70,6 +71,12 @@ class StreamingReplay:
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
         self.txn_aligned = txn_aligned
+        # bootstrap-without-checkpoint start (positions.StartPosition):
+        # applied as a per-batch boundary predicate; events before it are
+        # dropped before any expensive work (the checkpoint, once written,
+        # governs subsequent resumes — same precedence as the reference's
+        # findStartPositionInternal: cursor first, configured start second)
+        self.start_position = start
         self.tail_state = TxnTailState(
             spark, os.path.join(self.checkpoint_dir, "txn_tail"))
         self.metrics = MetricsLog(
@@ -90,6 +97,8 @@ class StreamingReplay:
     # ------------------------------------------------------- batch apply
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
+        if self.start_position is not None:
+            batch_df = batch_df.where(self.start_position.predicate())
         # keep txn markers: the boundary split needs TRANSACTIONEND rows
         ev = prepare_envelope(batch_df, table_regex=self.table_regex)
         if self.txn_aligned:
