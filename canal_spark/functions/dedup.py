@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from canal_spark.functions import hashing
-from canal_spark.functions.text import words
 
 
 def canonical_text(text_col) -> F.Column:
@@ -78,21 +77,33 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
     """Distinct word n-gram shingles per doc: (id, shingle string).
 
     Built with JVM higher-order functions (transform over a sequence of
-    offsets + slice + array_join) — no UDF. Docs with < n words yield an
-    empty set (guarded: Spark's sequence(1, len-n+1) would otherwise count
-    DOWN for negative spans)."""
-    w = words(canonical_text(text_col))
+    offsets + slice + array_join) — no UDF. Two measured 2× pitfalls are
+    deliberately engineered around (the shingle pass dominates every dedup
+    operator at corpus scale):
+
+    - the word list lands in a projected column first — a when() guard
+      around the transform re-evaluated the whole split per branch
+      reference (no common-subexpression elimination across CaseWhen);
+      the < n-words guard is instead an index list of provably
+      non-negative length (slice of a 1-based sequence), codegen-friendly;
+    - the split runs straight on lower(trim(text)) — collapsing runs of
+      whitespace first (canonical_text) is redundant ahead of a ``\\s+``
+      split and doubled the regex work. Shingle STRINGS are identical
+      either way (words re-join with single spaces), so the DuckDB oracle
+      twins, which split the canonical form, still match value-for-value.
+    """
+    w0 = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                  lambda x: x != "")
+    wdf = df.select(F.col(id_col).alias("id"), w0.alias("w"))
+    w = F.col("w")
     if n == 1:
-        sh = F.array_distinct(w)
-    else:
-        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-        sh = F.when(
-            F.size(w) >= n,
-            F.array_distinct(
-                F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+        return wdf.select("id", F.array_distinct(w).alias("shingles"))
+    cnt = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))), F.lit(1), cnt)
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    )
+    return wdf.select("id", sh.alias("shingles"))
 
 
 _WORDS_SQL = (r"list_filter(regexp_split_to_array(" + CANON_SQL +

@@ -305,8 +305,11 @@ class LakeTable:
         # and after a MODIFY it stops a narrower incoming value from
         # poisoning the physical file's declared type
         sink_types = {f.name: f.dataType for f in self.schema().fields}
+        in_types = {f.name: f.dataType for f in changes.schema.fields}
         chg = changes.select(
-            *[F.col(c).cast(sink_types[c]).alias(f"_c_{c}") for c in data_cols],
+            *[(F.col(c) if in_types.get(c) == sink_types[c]
+               else F.col(c).cast(sink_types[c])).alias(f"_c_{c}")
+              for c in data_cols],
             F.col("op").alias("_c_op"),
             F.col("lsn").alias("_c_lsn"),
             bucket_expr(key, self.n_buckets).alias("_b"),
