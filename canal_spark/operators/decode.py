@@ -23,12 +23,17 @@ from pyspark.sql import types as T
 
 WIRE_IMAGE_COLS = ("before", "after")
 
+# Spark's default JSON timestampFormat truncates to milliseconds; MySQL
+# DATETIME(6)/TIMESTAMP(6) carry microseconds and the reference preserves
+# them (LogEventConvert time kernel) — force full µs fidelity on the wire
+_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
 
 def to_wire(df: DataFrame) -> DataFrame:
     """Typed event log → wire shape: before/after become JSON strings."""
     out = df
     for c in WIRE_IMAGE_COLS:
-        out = out.withColumn(c, F.to_json(F.col(c)))
+        out = out.withColumn(c, F.to_json(F.col(c), _JSON_OPTS))
     return out
 
 
@@ -38,11 +43,11 @@ def decode_images(df: DataFrame, image_schema: T.StructType) -> DataFrame:
     Columns absent from ``image_schema`` are dropped (field projection at
     decode time — LogEventConvert.needField analog); columns present in the
     schema but missing from the payload decode to NULL (post-ADD-COLUMN
-    backfill semantics).
-    """
+    backfill semantics). Exact inverse of ``to_wire`` for every type the
+    DDL kernel emits (tests/test_decode_types.py)."""
     out = df
     for c in WIRE_IMAGE_COLS:
-        out = out.withColumn(c, F.from_json(F.col(c), image_schema))
+        out = out.withColumn(c, F.from_json(F.col(c), image_schema, _JSON_OPTS))
     return out
 
 

@@ -27,6 +27,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# payload types whose to_json/from_json round trip is bit-exact — the
+# packed fast path below is only taken when EVERY payload column qualifies
+# (floating point / timestamps may not re-parse identically)
+_JSON_EXACT = (T.StringType, T.IntegerType, T.LongType, T.ShortType,
+               T.ByteType, T.BooleanType, T.BinaryType)
+
+
+def _json_exact(dt: T.DataType) -> bool:
+    if isinstance(dt, T.ArrayType):
+        return _json_exact(dt.elementType)
+    return isinstance(dt, _JSON_EXACT)
 
 
 def changes_from_events(events: DataFrame, key: str = "doc_id",
@@ -68,13 +81,55 @@ def collapse_lww(changes: DataFrame, key: str = "doc_id",
                  salt_partitions: int | None = None) -> DataFrame:
     """One row per key: the change with the greatest LSN.
 
-    `max_by(struct, lsn)` hash-aggregates with map-side combine (partial
-    `max_by` before the shuffle), so hot keys cost one row per upstream
-    partition — skew-safe by construction. ``salt_partitions`` forces an
-    explicit two-phase variant (groupBy(key, salt) then groupBy(key)) for
-    benchmarking the equivalence.
+    Both formulations are one shuffle with map-side partial aggregation
+    (algebraic max), so hot keys cost one row per upstream partition —
+    skew-safe by construction. ``salt_partitions`` forces an explicit
+    two-phase variant (groupBy(key, salt) then groupBy(key)).
+
+    Fast path: ``max(lsn ∥ op ∥ to_json(payload))`` over ONE packed string
+    — measured 3.6× faster than ``max_by(struct, lsn)`` at 1M events
+    (PERF.md #12: an array-bearing struct forces SortAggregate with
+    per-update struct copies; a flat string buffer is cheap). The packed
+    string orders by lsn because the LSN prefix is fixed-width sortable
+    and unique (lsn.py), and \\x01 separators cannot occur in lsn/op, so
+    the split(limit=3) re-parse is unambiguous even if payload strings
+    contain \\x01. Taken only when every payload column's JSON round trip
+    is bit-exact (ints/strings/bools/binary/arrays thereof) — otherwise
+    the typed ``max_by`` path runs (floats, timestamps, decimals).
     """
-    payload = F.struct(*[c for c in changes.columns if c != key])
+    other = [c for c in changes.columns if c != key]
+    data_cols = [c for c in other if c not in ("op", "lsn")]
+    types = {f.name: f.dataType for f in changes.schema.fields}
+
+    if data_cols and all(_json_exact(types[c]) for c in data_cols):
+        packed = F.concat_ws(
+            "\x01", F.col("lsn"), F.col("op"),
+            F.to_json(F.struct(*data_cols)),
+        )
+        if salt_partitions:
+            salt = F.pmod(F.xxhash64(F.col("lsn")), F.lit(salt_partitions))
+            partial = (
+                changes.withColumn("_salt", salt)
+                .groupBy(key, "_salt").agg(F.max(packed).alias("_p"))
+            )
+            final = partial.groupBy(key).agg(F.max("_p").alias("_p"))
+        else:
+            final = changes.groupBy(key).agg(F.max(packed).alias("_p"))
+        parts = F.split(F.col("_p"), "\x01", 3)
+        json_schema = T.StructType(
+            [T.StructField(c, types[c], True) for c in data_cols])
+        parsed = final.select(
+            key,
+            parts.getItem(0).alias("lsn"),
+            parts.getItem(1).alias("op"),
+            F.from_json(parts.getItem(2), json_schema).alias("_j"),
+        )
+        return parsed.select(
+            key, *[F.col(f"_j.{c}").alias(c) if c in data_cols else F.col(c)
+                   for c in other]
+        )
+
+    payload = F.struct(*other)
     if salt_partitions:
         salt = F.pmod(F.xxhash64(F.col("lsn")), F.lit(salt_partitions))
         partial = (
@@ -89,7 +144,6 @@ def collapse_lww(changes: DataFrame, key: str = "doc_id",
         final = changes.groupBy(key).agg(
             F.max_by(payload, F.col("lsn")).alias("_c")
         )
-    other = [c for c in changes.columns if c != key]
     return final.select(key, *[F.col(f"_c.{c}").alias(c) for c in other])
 
 
