@@ -67,8 +67,11 @@ def main() -> int:
     # before the Exchange is what bounds hot-key fan-in.
     events = with_lsn(envelope_filter(raw)).where(F.col("entry_type") == "ROWDATA")
     net = collapse_lww(changes_from_events(events.where(~F.col("is_ddl"))))
+    # packed-string formulation (PERF.md #12): partial_max of the packed
+    # (lsn ∥ op ∥ json) string BEFORE the Exchange = map-side combine,
+    # final max after — hot keys still emit one row per upstream partition
     check("lww_collapse_partial_agg", net,
-          r"(?s)partial_max_by.*Exchange.*Functions \[1\]: \[max_by")
+          r"(?s)partial_max\(concat_ws.*Exchange.*Functions \[1\]: \[max\(")
 
     # 4. dim join broadcasts the small side
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
