@@ -23,6 +23,9 @@ No numpy/pandas in the hot path; the folds run in whole-stage codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -87,32 +90,46 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
 # ------------------------------------------------------------------ LSH
 
-def to_e6(vec_col) -> Column:
-    """Fixed-point the vector: e6[j] = floor(v[j]·10⁶) as long. float→double
-    widening and ·10⁶ are deterministic IEEE ops — identical in DuckDB."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.transform(v, lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"))
+def hyperplane_buckets_udf(n_planes: int, n_tables: int):
+    """Arrow-batched bucket kernel: embedding → array of n_tables bucket
+    ids, ONE int64 matrix multiply per batch per table.
 
+    Why a pandas UDF here and nowhere else: the pure-expression version
+    (`aggregate(zip_with(e6, weights, *))` per plane) is a NESTED
+    higher-order function — Catalyst evaluates it interpreted (PERF.md
+    finding 3), ~100 s for 500×40 projections; dense linear algebra
+    belongs in BLAS. The arithmetic is EXACT int64 (|proj| < dim·10⁶·5·10⁵
+    ≈ 2⁴⁵, and float64·10⁶+floor is deterministic IEEE), so the DuckDB
+    oracle twin (hyperplane_bucket_sql) still matches bit-for-bit. The
+    weight matrix is derived (md5, deterministic) from the OBSERVED vector
+    dimension on the executor, so any dim works without configuration."""
+    from pyspark.sql.functions import pandas_udf
 
-def hyperplane_bucket(e6_col, n_planes: int = 10, table: int = 0,
-                      dim: int = DIM) -> Column:
-    """LSH bucket id from a fixed-point vector: bit p = sign of the exact
-    integer projection onto literal plane p (|Σ| < dim·10⁶·5·10⁵ ≈ 2⁴⁵)."""
-    e6 = F.col(e6_col) if isinstance(e6_col, str) else e6_col
-    planes = hashing.plane_weights(n_planes, dim, table)
-    bucket = F.lit(0).cast("long")
-    for p, w in enumerate(planes):
-        warr = F.array(*[F.lit(c).cast("long") for c in w])
-        proj = F.aggregate(
-            F.zip_with(e6, warr, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return bucket
+    shifts = 1 << np.arange(n_planes, dtype=np.int64)
+    w_cache: dict[int, np.ndarray] = {}
+
+    def weights(d: int) -> np.ndarray:
+        if d not in w_cache:
+            w_cache[d] = np.array(
+                [hashing.plane_weights(n_planes, d, t) for t in range(n_tables)],
+                dtype=np.int64,
+            )  # (T, P, d)
+        return w_cache[d]
+
+    @pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        M = np.stack(col.to_numpy())                       # (n, d)
+        e6 = np.floor(M.astype(np.float64) * 1_000_000).astype(np.int64)
+        W = weights(M.shape[1])
+        out = np.empty((len(col), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            proj = e6 @ W[t].T                             # (n, P) exact
+            out[:, t] = ((proj > 0) * shifts).sum(axis=1)
+        return pd.Series(list(out))
+
+    return buckets
 
 
 E6_SQL = ("list_transform({vec}, "
@@ -142,25 +159,19 @@ def lsh_bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     ``n_tables`` hash tables; exact cosine re-rank within candidates.
     Shuffle is linear in |emb| × n_tables (bucket-partitioned join), never
     |emb| × |queries|."""
+    bud = hyperplane_buckets_udf(n_planes, n_tables)
+
     def bucketed(df, side):
-        base = df.select(
+        # one UDF pass computes every table's bucket; posexplode replaces
+        # round 1's n_tables-way union (n_tables scans of the input)
+        return df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"{side}_vec"),
-            to_e6(vec_col).alias("_e6"),
+            F.posexplode(bud(F.col(vec_col))).alias("_t", "_b"),
+        ).select(
+            f"{side}_id", f"{side}_vec",
+            F.concat_ws(":", F.col("_t"), F.col("_b")).alias("bucket"),
         )
-        rows = [
-            base.select(
-                f"{side}_id", f"{side}_vec",
-                F.concat_ws(
-                    ":", F.lit(t), hyperplane_bucket("_e6", n_planes, t)
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
 
     qb = bucketed(queries, "q")
     cb = bucketed(emb, "n")
@@ -238,8 +249,9 @@ def embedding_near_pairs(emb: DataFrame, threshold_e3: int = 990,
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if use_lsh:
-        a = a.withColumn("bucket", hyperplane_bucket(to_e6("va"), n_planes, 0))
-        b = b.withColumn("bucket", hyperplane_bucket(to_e6("vb"), n_planes, 0))
+        bud = hyperplane_buckets_udf(n_planes, n_tables=1)
+        a = a.withColumn("bucket", bud(F.col("va")).getItem(0))
+        b = b.withColumn("bucket", bud(F.col("vb")).getItem(0))
         pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
