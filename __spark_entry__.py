@@ -331,7 +331,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["media_meta"] = multimodal.media_meta_plan_sql()
     o["media_frames"] = multimodal.frame_sample_plan_sql()
-    # media_features: mapInPandas (Arrow-batched Python) → rows-only.
+    o["media_features"] = multimodal.extract_features_sql()
 
     o["tpch_pricing_summary"] = relational.pricing_summary_sql()
     o["orders_by_segment"] = relational.orders_by_segment_sql()

@@ -113,6 +113,23 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def extract_features_sql() -> str:
+    """DuckDB twin of the driver-facing columns of ``extract_features``:
+    the payload is utf8(text), so md5-of-payload == md5(text) and the
+    checksum is expressible without the binary column."""
+    from canal_spark.functions.hashing import h60_sql
+
+    return f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               {h60_sql('text')} AS checksum64
+        FROM documents
+    """
+
+
 def frame_sample_plan_sql(every_n: int = 5) -> str:
     return f"""
         SELECT doc_id,
@@ -146,13 +163,19 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     def _fake_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        import hashlib
+
         for pdf in it:
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
             checks, feats = [], []
             for b in payloads:
                 arr = np.frombuffer(b or b"", dtype=np.uint8)
-                checks.append(int(arr.sum()) * 2654435761 % (1 << 63))
+                # 60-bit md5 of the payload BYTES == hashing.h60 of the
+                # source text (payload = utf8(text)), so the DuckDB oracle
+                # can verify the checksum value-for-value
+                checks.append(
+                    int(hashlib.md5(bytes(b or b"")).hexdigest()[:15], 16))
                 # 8 deterministic moments as the fake feature vector
                 if len(arr):
                     f = [
