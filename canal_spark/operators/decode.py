@@ -29,10 +29,14 @@ WIRE_IMAGE_COLS = ("before", "after")
 _JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
 
 
-def to_wire(df: DataFrame) -> DataFrame:
-    """Typed event log → wire shape: before/after become JSON strings."""
+def to_wire(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Typed event log → wire shape: before/after become JSON strings, and
+    the row key rides as native ``pk_before``/``pk_after`` envelope columns
+    (the FlatMessage pkNames/data split) so downstream never has to probe
+    the JSON just to route by key."""
     out = df
     for c in WIRE_IMAGE_COLS:
+        out = out.withColumn(f"pk_{c}", F.col(f"{c}.{key}"))
         out = out.withColumn(c, F.to_json(F.col(c), _JSON_OPTS))
     return out
 

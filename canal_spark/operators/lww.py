@@ -147,6 +147,72 @@ def collapse_lww(changes: DataFrame, key: str = "doc_id",
     return final.select(key, *[F.col(f"_c.{c}").alias(c) for c in other])
 
 
+def wire_net_changes(events: DataFrame, key: str,
+                     image_schema, salt_partitions: int | None = None) -> DataFrame:
+    """Wire-mode fused path: LWW-collapse the RAW JSON payloads, decode
+    only the per-key winners.
+
+    Round 1/2 decoded every event (`from_json` of the full image) and the
+    packed collapse then re-encoded it (`to_json`) — two full codec passes
+    over N events. But the net effect per key is its single latest event,
+    so the decode belongs AFTER the collapse: extract just the key (a
+    native ``pk_after``/``pk_before`` envelope column when the wire caries
+    it — the FlatMessage pkNames analog — else one `get_json_object`
+    probe), aggregate ``max(lsn ∥ op ∥ payload-string)``, and `from_json`
+    only |keys| winners. Codec work drops from O(events) to O(keys) —
+    the dominant term for update-heavy CDC at any scale.
+    """
+    from pyspark.sql import types as T
+
+    dml = events.where(F.col("entry_type") == "ROWDATA").where(
+        F.col("event_type").isin("INSERT", "UPDATE", "DELETE")
+        & ~F.coalesce(F.col("is_ddl"), F.lit(False))
+    )
+    has_pk = "pk_after" in dml.columns
+
+    def k_of(img: str):
+        native = F.col(f"pk_{img}") if has_pk else F.lit(None).cast("string")
+        return F.coalesce(native, F.get_json_object(F.col(img), f"$.{key}"))
+
+    upserts = dml.where(F.col("event_type").isin("INSERT", "UPDATE")).select(
+        k_of("after").alias(key), F.lit("U").alias("op"), F.col("lsn"),
+        F.col("after").alias("_payload"),
+    )
+    deletes = dml.where(
+        (F.col("event_type") == "DELETE")
+        | ((F.col("event_type") == "UPDATE") & (k_of("before") != k_of("after")))
+    ).select(
+        k_of("before").alias(key), F.lit("D").alias("op"), F.col("lsn"),
+        F.lit(None).cast("string").alias("_payload"),
+    )
+    ch = upserts.unionByName(deletes)
+
+    packed = F.concat_ws("\x01", F.col("lsn"), F.col("op"), F.col("_payload"))
+    if salt_partitions:
+        salt = F.pmod(F.xxhash64(F.col("lsn")), F.lit(salt_partitions))
+        partial = (
+            ch.withColumn("_salt", salt)
+            .groupBy(key, "_salt").agg(F.max(packed).alias("_p"))
+        )
+        final = partial.groupBy(key).agg(F.max("_p").alias("_p"))
+    else:
+        final = ch.groupBy(key).agg(F.max(packed).alias("_p"))
+
+    from canal_spark.operators.decode import _JSON_OPTS
+
+    parts = F.split(F.col("_p"), "\x01", 3)
+    # deletes pack no payload (2 parts) — F.get returns NULL out-of-bounds
+    # where getItem would throw under ANSI
+    img = F.from_json(F.get(parts, 2), image_schema, _JSON_OPTS)
+    data_cols = [f.name for f in image_schema.fields if f.name != key]
+    return final.select(
+        key,
+        *[img.getItem(c).alias(c) for c in data_cols],
+        parts.getItem(1).alias("op"),
+        parts.getItem(0).alias("lsn"),
+    )
+
+
 def collapse_lww_window(changes: DataFrame, key: str = "doc_id") -> DataFrame:
     """Window-function variant (row_number over lsn desc) — kept for parity
     tests; the aggregate variant above is the production path (no full sort,

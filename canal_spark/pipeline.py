@@ -29,9 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_spark.lsn import encode_lsn_col
-from canal_spark.operators.decode import decode_images
 from canal_spark.operators.filters import envelope_filter
-from canal_spark.operators.lww import changes_from_events, collapse_lww
+from canal_spark.operators.lww import (
+    changes_from_events,
+    collapse_lww,
+    wire_net_changes,
+)
 from canal_spark.schema.tracker import SchemaTracker
 from canal_spark.table.lake import LakeTable
 
@@ -93,8 +96,13 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
     if hi:
         rng = rng.where(F.col("lsn") <= hi)
     if wire:
-        # decode the wire payload with the CURRENT schema (live registry)
-        rng = decode_images(rng, table.schema())
+        # fused wire path: LWW-collapse the raw JSON payloads against the
+        # CURRENT schema (live registry), decode only the per-key winners —
+        # codec work is O(keys), not O(events) (operators/lww.py)
+        net = wire_net_changes(rng, key=table.key_col,
+                               image_schema=table.schema(),
+                               salt_partitions=salt_partitions)
+        return table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
     data_cols = table.logical_columns()
     available = _image_fields(rng)
     rng_cols = [c for c in data_cols if available is None or c in available]

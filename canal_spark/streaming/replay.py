@@ -42,11 +42,14 @@ from canal_spark.pipeline import apply_events, prepare_envelope
 from canal_spark.table.lake import LakeTable
 
 # the fixed wire envelope: everything the generator writes, images as JSON
+# plus native pk columns (FlatMessage pkNames/data split — older wire
+# fixtures without them read as NULL and fall back to a JSON key probe)
 _ENVELOPE_DDL = (
     "entry_type string, event_type string, gtid_seq long, binlog_file string,"
     " binlog_pos long, server_id long, execute_ts timestamp,"
     " schema_name string, table_name string, txn_id string, is_ddl boolean,"
-    " sql string, before string, after string"
+    " sql string, before string, after string,"
+    " pk_before string, pk_after string"
 )
 
 

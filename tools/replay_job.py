@@ -63,8 +63,8 @@ def main() -> None:
     spark = SparkSession.builder.appName("canal_spark_replay").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from canal_spark.operators.decode import decode_images
-    from canal_spark.operators.lww import changes_from_events, collapse_lww
+    from canal_spark.operators.lww import (changes_from_events, collapse_lww,
+                                           wire_net_changes)
     from canal_spark.pipeline import prepare_events, read_event_log, replay
     from canal_spark.table.lake import LakeTable
 
@@ -77,8 +77,11 @@ def main() -> None:
         if stage == "collapse":
             ev = prepare_events(raw).where(~F.col("is_ddl"))
             if wire:
-                ev = decode_images(ev, BASE_SCHEMA)
-            net = collapse_lww(changes_from_events(ev))
+                # fused path: raw-payload collapse, decode winners only
+                net = wire_net_changes(ev, key="doc_id",
+                                       image_schema=BASE_SCHEMA)
+            else:
+                net = collapse_lww(changes_from_events(ev))
             t0 = time.time()
             net.write.mode("overwrite").format("noop").save()
             secs.append(time.time() - t0)
