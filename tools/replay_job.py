@@ -13,11 +13,15 @@ code is identical at every cluster size (no hand-sharding).
 ``stage``:
   full      — end-to-end: filter → decode → LWW collapse → MERGE commit.
   collapse  — everything up to and including the LWW shuffle (noop sink).
-              On this single-VM sandbox the MERGE's multi-GB table write
-              bottoms out on ONE virtio disk (~identical wall time at 8 and
-              32 cores); a real cluster spreads that across hundreds of
-              disks. The collapse stage is the CPU-bound engine path where
-              core scaling is observable in-sandbox.
+              Since the fused wire path (decode-after-collapse) made the
+              per-event CPU cheap, this stage is dominated by the packed
+              shuffle — which on this single-VM sandbox hits ONE virtio
+              disk (a fixed ~38 s floor for 8 M heavy events at any core
+              count); a real cluster adds disks/network with executors.
+  decode    — filter → full wire JSON decode of EVERY event (noop sink,
+              zero shuffle): the pure-CPU engine path and the reference's
+              parse-throughput analog — where core scaling is honestly
+              observable in-sandbox.
 If the log's images are JSON strings (wire format), decode runs via
 ``from_json`` against the sink schema — the Canal parse-throughput analog.
 """
@@ -63,6 +67,7 @@ def main() -> None:
     spark = SparkSession.builder.appName("canal_spark_replay").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    from canal_spark.operators.decode import decode_images
     from canal_spark.operators.lww import (changes_from_events, collapse_lww,
                                            wire_net_changes)
     from canal_spark.pipeline import prepare_events, read_event_log, replay
@@ -74,6 +79,14 @@ def main() -> None:
 
     secs = []
     for i in range(max(1, repeats)):
+        if stage == "decode":
+            ev = prepare_events(raw).where(~F.col("is_ddl"))
+            out = decode_images(ev, BASE_SCHEMA) if wire else ev
+            out = out.select("lsn", "event_type", "after.*")
+            t0 = time.time()
+            out.write.mode("overwrite").format("noop").save()
+            secs.append(time.time() - t0)
+            continue
         if stage == "collapse":
             ev = prepare_events(raw).where(~F.col("is_ddl"))
             if wire:
