@@ -36,7 +36,9 @@ def to_wire(df: DataFrame, key: str = "doc_id") -> DataFrame:
     the JSON just to route by key."""
     out = df
     for c in WIRE_IMAGE_COLS:
-        out = out.withColumn(f"pk_{c}", F.col(f"{c}.{key}"))
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.StructType) and key in dt.fieldNames():
+            out = out.withColumn(f"pk_{c}", F.col(f"{c}.{key}"))
         out = out.withColumn(c, F.to_json(F.col(c), _JSON_OPTS))
     return out
 
