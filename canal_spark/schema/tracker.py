@@ -24,7 +24,12 @@ from canal_spark.table.lake import LakeTable
 class SchemaTracker:
     def __init__(self, table: LakeTable, subscribed: tuple[str, str] = ("train", "tokseq")):
         self.table = table
-        self.subscribed = subscribed
+        # a RENAME TABLE commits the new subscription into the snapshot;
+        # later trackers (one is built per replay range) must resume it
+        # rather than reset to the default (DatabaseTableMeta keeps
+        # tracking the renamed table across restarts)
+        snap_sub = table.snap.get("subscribed")
+        self.subscribed = tuple(snap_sub) if snap_sub else subscribed
 
     def active_columns(self) -> list[str]:
         return self.table.logical_columns()
