@@ -149,12 +149,13 @@ def main() -> None:
         with open(f, "rb") as fh:
             fh.read()
 
-    # adaptive best-of-N replays (3-5): the first heavy job in a fresh JVM
+    # adaptive best-of-N replays (3-6): the first heavy job in a fresh JVM
     # on this VM is reproducibly 2-30x slower than steady state (JIT + CPU
     # steal; PERF.md "benchmark hygiene") and under host noise even the
     # third run can still be inflated — measured 66s/48s/36s vs a true 5s
     # steady state minutes apart. Stop once the two fastest runs agree
-    # within 25%: that pair is the engine, the rest is the host.
+    # within ~17.6% (s[0] >= 0.85*s[1]): that pair is the engine, the rest
+    # is the host.
     stat0 = _cpu_stat()
     reps = []
     for _ in range(6):

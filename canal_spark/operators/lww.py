@@ -168,10 +168,12 @@ def wire_net_changes(events: DataFrame, key: str,
         F.col("event_type").isin("INSERT", "UPDATE", "DELETE")
         & ~F.coalesce(F.col("is_ddl"), F.lit(False))
     )
-    has_pk = "pk_after" in dml.columns
-
     def k_of(img: str):
-        native = F.col(f"pk_{img}") if has_pk else F.lit(None).cast("string")
+        # each envelope pk column is probed independently: a frame carrying
+        # pk_after but not pk_before must not make k_of('before') reference
+        # a missing column (AnalysisException) — ADVICE r02
+        native = (F.col(f"pk_{img}") if f"pk_{img}" in dml.columns
+                  else F.lit(None).cast("string"))
         return F.coalesce(native, F.get_json_object(F.col(img), f"$.{key}"))
 
     upserts = dml.where(F.col("event_type").isin("INSERT", "UPDATE")).select(

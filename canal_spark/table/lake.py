@@ -52,6 +52,30 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _key_stats(path: str, key_col: str) -> list[str] | None:
+    """[min, max] of ``key_col`` from the parquet footer (no data read) —
+    the manifest-level per-file stats Iceberg keeps in its manifests
+    (lower_bounds/upper_bounds) that make MERGE prune at FILE granularity."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == key_col:
+            idx = i
+            break
+    if idx is None or md.num_row_groups == 0:
+        return None
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mins.append(st.min)
+        maxs.append(st.max)
+    return [min(mins), max(maxs)]
+
+
 class LakeTable:
     """A bucketed snapshot table with MERGE/DDL/time-travel semantics."""
 
@@ -171,10 +195,15 @@ class LakeTable:
         return [f for fl in snap["files"].values() for f in fl]
 
     def read_raw(self, buckets: list[int] | None = None,
-                 version: int | None = None) -> DataFrame:
-        """Physical rows (incl. tombstones + system cols), logical names."""
+                 version: int | None = None,
+                 file_names: list[str] | None = None) -> DataFrame:
+        """Physical rows (incl. tombstones + system cols), logical names.
+        ``file_names`` narrows the scan to specific manifest files (the
+        MERGE file-pruning path)."""
         snap = self.snap if version is None else self.load_version(version)
-        if buckets is None:
+        if file_names is not None:
+            names = list(file_names)
+        elif buckets is None:
             names = self._all_files(snap)
         else:
             names = [f for b in buckets for f in snap["files"].get(str(b), [])]
@@ -213,9 +242,12 @@ class LakeTable:
         )
 
     # -------------------------------------------------------------- writes
-    def _write_data(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+    def _write_data(
+        self, df: DataFrame, version: int,
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
         """Write df (physical names + sys cols + _b) bucket-partitioned;
-        move files into data/ and return bucket -> new file names."""
+        move files into data/ and return (bucket -> new file names,
+        file name -> [min_key, max_key] footer stats)."""
         staging = os.path.join(self.path, f"_staging-v{version:06d}-{uuid.uuid4().hex[:8]}")
         key_phys = self._phys(self.key_col)
         sort_cols = ["_b"] + ([key_phys] if key_phys in df.columns else [])
@@ -225,6 +257,7 @@ class LakeTable:
             .write.partitionBy("_b").mode("overwrite").parquet(staging)
         )
         out: dict[str, list[str]] = {}
+        stats: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("_b="):
                 continue
@@ -234,12 +267,16 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 new = f"b{int(b):05d}-v{version:06d}-{seq:04d}-{uuid.uuid4().hex[:8]}.parquet"
-                os.replace(os.path.join(staging, entry, fn),
-                           os.path.join(self.data_dir, new))
+                dst = os.path.join(self.data_dir, new)
+                os.replace(os.path.join(staging, entry, fn), dst)
                 out.setdefault(b, []).append(new)
+                # footer-only read, metadata-sized driver work per new file
+                st = _key_stats(dst, key_phys)
+                if st is not None:
+                    stats[new] = st
                 seq += 1
         shutil.rmtree(staging, ignore_errors=True)
-        return out
+        return out, stats
 
     def _to_physical(self, df: DataFrame) -> DataFrame:
         sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
@@ -257,9 +294,10 @@ class LakeTable:
             "_b", bucket_expr(key_phys, self.n_buckets)
         )
         version = self.snap["version"] + 1
-        files = self._write_data(pdf, version)
+        files, stats = self._write_data(pdf, version)
         snap = dict(self.snap)
-        snap.update(version=version, files=files, parent=self.snap["version"])
+        snap.update(version=version, files=files, file_stats=stats,
+                    parent=self.snap["version"])
         if batch_id is not None:
             snap["applied_batches"] = _ledger_add(snap["applied_batches"], batch_id)
         self._write_snapshot(snap)
@@ -329,9 +367,44 @@ class LakeTable:
                         "buckets": 0, "upserts": 0, "deletes": 0}
             n_up = sum(r["count"] for r in bstats if r["_c_op"] == "U")
             n_del = sum(r["count"] for r in bstats if r["_c_op"] == "D")
-
-            tgt = self.read_raw(buckets=touched).drop("_b")
             ckey = F.col(f"_c_{key}")
+
+            # FILE-level pruning (Iceberg manifest lower/upper-bound analog):
+            # a data file is read+rewritten only if its [min,max] key range
+            # can contain a change key; every other file in the touched
+            # buckets carries forward BY REFERENCE in the new snapshot.
+            # This is what keeps copy-on-write proportional to the batch at
+            # 10^10 rows (the reference's apply is batch-proportional JDBC
+            # DML, client-adapter/rdb/.../support/BatchExecutor.java) — a
+            # bucket-granularity rewrite would touch the whole table once
+            # keys spread. The range probe is ONE broadcast join over the
+            # persisted change set; files-per-bucket stays bounded by
+            # compact() (streaming auto-maintenance), so the nested-loop
+            # term is |changes| x O(files-in-bucket), not |changes| x total.
+            fstats = self.snap.get("file_stats", {})
+            ranges = []
+            for b in touched:
+                for f in self.snap["files"].get(str(b), []):
+                    st = fstats.get(f)
+                    ranges.append((int(b), f,
+                                   st[0] if st else None,
+                                   st[1] if st else None))
+            bucket_files = len(ranges)
+            if ranges:
+                rdf = self.spark.createDataFrame(
+                    ranges, "b int, f string, lo string, hi string")
+                hit = (F.col("_b") == F.col("b")) & (
+                    F.col("lo").isNull()
+                    | (ckey.between(F.col("lo"), F.col("hi")))
+                )
+                touched_files = sorted(
+                    r["f"] for r in chg.join(F.broadcast(rdf), hit)
+                    .select("f").distinct().collect()
+                )
+            else:
+                touched_files = []
+
+            tgt = self.read_raw(file_names=touched_files).drop("_b")
             # One scan, one join: full-outer MERGE with an LSN fence —
             # a change wins only if strictly newer than the stored row
             # (idempotent under replay/duplicate delivery). The change side
@@ -368,12 +441,19 @@ class LakeTable:
             )
 
             version = self.snap["version"] + 1
-            new_files = self._write_data(out_p, version)
+            new_files, new_stats = self._write_data(out_p, version)
             files = dict(self.snap["files"])
+            file_stats = dict(fstats)
+            replaced = set(touched_files)
             for b in touched:
-                files[str(b)] = new_files.get(str(b), [])
+                kept = [f for f in files.get(str(b), []) if f not in replaced]
+                files[str(b)] = kept + new_files.get(str(b), [])
+            for f in replaced:
+                file_stats.pop(f, None)
+            file_stats.update(new_stats)
             snap = dict(self.snap)
-            snap.update(version=version, files=files, parent=self.snap["version"])
+            snap.update(version=version, files=files, file_stats=file_stats,
+                        parent=self.snap["version"])
             if batch_id is not None:
                 snap["applied_batches"] = _ledger_add(
                     snap["applied_batches"], batch_id)
@@ -381,7 +461,9 @@ class LakeTable:
                 snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), max_lsn)
             self._write_snapshot(snap)
             return {"skipped": False, "version": version,
-                    "buckets": len(touched), "upserts": n_up, "deletes": n_del}
+                    "buckets": len(touched), "upserts": n_up, "deletes": n_del,
+                    "files_read": len(touched_files),
+                    "files_carried": bucket_files - len(touched_files)}
         finally:
             changes.unpersist()
 
@@ -448,7 +530,7 @@ class LakeTable:
         client-adapter/rdb/.../RdbSyncService.java:392-400). Recording the
         TRUNCATE's LSN fences any late/duplicate pre-truncate DML from
         resurrecting wiped rows."""
-        updates: dict = {"files": {}}
+        updates: dict = {"files": {}, "file_stats": {}}
         if lsn is not None:
             updates["truncate_lsn"] = max(self.snap.get("truncate_lsn", ""), lsn)
         self._commit_meta(**updates)
@@ -467,11 +549,15 @@ class LakeTable:
         sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
         out = live.select(*sel, "_source_lsn", "_deleted", "_b")
         version = self.snap["version"] + 1
-        new_files = self._write_data(out, version)
+        new_files, new_stats = self._write_data(out, version)
         files = dict(self.snap["files"])
+        file_stats = dict(self.snap.get("file_stats", {}))
         for b in buckets:
+            for f in files.get(str(b), []):
+                file_stats.pop(f, None)
             files[str(b)] = new_files.get(str(b), [])
-        self._commit_meta(files=files, version=version)
+        file_stats.update(new_stats)
+        self._commit_meta(files=files, file_stats=file_stats, version=version)
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots."""

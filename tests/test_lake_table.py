@@ -84,6 +84,44 @@ def test_bucket_pruning_rewrites_only_touched(spark, tmp_work):
     assert len(changed) == 1
 
 
+def test_file_carry_forward_within_bucket(spark, tmp_work):
+    """MERGE must rewrite only data files whose key range intersects the
+    change set — other files in the SAME bucket carry forward by reference
+    (Iceberg manifest lower/upper-bound pruning; keeps copy-on-write
+    proportional to the batch, VERDICT r02 next #2)."""
+    df = spark.createDataFrame(BASE, SCHEMA)
+    t = LakeTable.create(spark, os.path.join(tmp_work, "t1"), SCHEMA,
+                         n_buckets=1, df=df)
+    [f0] = t.snap["files"]["0"]
+    assert t.snap["file_stats"][f0] == ["a", "c"]
+
+    # insert-only batch with keys beyond every file range: nothing is read,
+    # the new keys land in a NEW file, f0 carries forward by reference
+    ins = _chg(spark, [("x", [7], 1, "wiki", "U", "lsn-1"),
+                       ("z", [8], 1, "wiki", "U", "lsn-1")])
+    res = t.merge_apply(ins)
+    assert res["files_read"] == 0 and res["files_carried"] == 1
+    assert f0 in t.snap["files"]["0"] and len(t.snap["files"]["0"]) == 2
+    f1 = next(f for f in t.snap["files"]["0"] if f != f0)
+    assert t.snap["file_stats"][f1] == ["x", "z"]
+
+    # update hitting only f0's range: f1 carries forward, f0 is replaced
+    upd = _chg(spark, [("b", [9], 1, "web", "U", "lsn-2")])
+    res = t.merge_apply(upd)
+    assert res["files_read"] == 1 and res["files_carried"] == 1
+    assert f1 in t.snap["files"]["0"] and f0 not in t.snap["files"]["0"]
+
+    got = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    assert got == {"a": [1, 2], "b": [9], "c": [4, 5, 6], "x": [7], "z": [8]}
+
+    # compact folds the bucket back to one file and keeps its stats fresh
+    t.compact()
+    assert len(t.snap["files"]["0"]) == 1
+    [fc] = t.snap["files"]["0"]
+    assert t.snap["file_stats"][fc] == ["a", "z"]
+    assert set(t.snap["file_stats"]) == {fc}
+
+
 def test_ddl_metadata_only_and_time_travel(spark, tmp_work):
     t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
     v1 = t.version
