@@ -141,6 +141,100 @@ def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
     return _canonical_state(table.refresh().read())
 
 
+# dim table for the maintained-view query (ES adapter index mapping analog);
+# integer weight so the compare never touches floats
+_VIEW_DIM_ROWS = [
+    ("web", "crawl", 50), ("books", "curated", 100), ("code", "curated", 80),
+    ("wiki", "curated", 100), ("forums", "crawl", 30),
+]
+_VIEW_DIM_DDL = "source string, src_kind string, src_weight_e2 int"
+VIEW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("src_kind", T.StringType()),
+    T.StructField("src_weight_e2", T.IntegerType()),
+])
+
+
+def _run_view_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained denormalized join view (SURVEY §2 row 37,
+    ES adapter analog — client-adapter/escore/.../ESSyncService.java:458-492):
+    replay the deterministic binlog with a JoinedView attached; each
+    micro-range's net changes enrich against a broadcast dim and MERGE into
+    a second LakeTable in the same pass. Returns the VIEW's final state —
+    maintenance cost is O(batch), never a view recompute."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import JoinedView
+
+    work = os.path.join(_WORK, "q_view_sync")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=9), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    dim = spark.createDataFrame(_VIEW_DIM_ROWS, _VIEW_DIM_DDL)
+    seeded = base_df.select("doc_id", "n_tok", "source").join(
+        F.broadcast(dim), "source", "left")
+    vt = LakeTable.create(spark, os.path.join(work, "view"), VIEW_SCHEMA,
+                          key_col="doc_id", n_buckets=8,
+                          df=seeded.select(*[f.name for f in VIEW_SCHEMA]))
+    view = JoinedView(vt, dim, on="source")
+    replay(spark, log_dir, table.refresh(), views=[view])
+    return view.table.refresh().read().select(*[f.name for f in VIEW_SCHEMA])
+
+
+def _view_sync_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_view_sync``: sequential-apply python oracle's
+    final main state joined (in plain python) against the dim dict."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_view_sync")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=9), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    dim = {r[0]: (r[1], r[2]) for r in _VIEW_DIM_ROWS}
+    rows = sorted(state.values(), key=lambda r: r["doc_id"])
+
+    def _dim(r, i):
+        kind_weight = dim.get(r.get("source"))
+        return None if kind_weight is None else kind_weight[i]
+
+    data = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "n_tok": pa.array(
+            [None if r.get("n_tok") is None else int(r["n_tok"]) for r in rows],
+            pa.int32()),
+        "source": pa.array([r.get("source") for r in rows], pa.string()),
+        "src_kind": pa.array([_dim(r, 0) for r in rows], pa.string()),
+        "src_weight_e2": pa.array(
+            [None if _dim(r, 1) is None else int(_dim(r, 1)) for r in rows],
+            pa.int32()),
+    }
+    p = os.path.join(work, "expected.parquet")
+    os.makedirs(work, exist_ok=True)
+    pq.write_table(pa.table(data), p)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 def _run_group_replay(spark: SparkSession) -> DataFrame:
     """Sharded-upstream replay (GroupEventParser analog): two disjoint-key
     shard logs merge into one table in (execute_ts, shard, lsn) timeline
@@ -239,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_replay_state"] = lambda s, d: _run_replay(
         s, d, "q_replay", n_events=2000, seed=7)
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
+    q["cdc_view_sync"] = _run_view_sync
     return q
 
 
@@ -456,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         o["cdc_replay_state"] = _replay_state_oracle_sql()
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
+        o["cdc_view_sync"] = _view_sync_oracle_sql()
     except Exception:
         pass
     return o

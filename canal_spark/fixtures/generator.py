@@ -66,6 +66,8 @@ class CdcLogSpec:
     ddl_script: list[tuple[int, str]] = field(default_factory=list)
     # [(event_index, sql)] — injected as single-event transactions when the
     # running ROWDATA count crosses event_index.
+    gtid_offset: int = 0              # continue an earlier log's LSN
+    file_no_offset: int = 0           # timeline (tail-log fixtures)
 
 
 def generate_base_table(n_docs: int, seed: int = 42,
@@ -269,10 +271,10 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
     ddl_iter = iter(sorted(spec.ddl_script))
     next_ddl = next(ddl_iter, None)
 
-    gtid = 0
+    gtid = spec.gtid_offset
     pos = 4
-    file_no = 1
-    ts_us = 1_700_000_000_000_000  # fixed epoch start, +1ms per event
+    file_no = 1 + spec.file_no_offset
+    ts_us = 1_700_000_000_000_000 + spec.gtid_offset * 1_000  # epoch, +1ms/event
     seg = _SegmentBuffer(extra_cols)
     files: list[str] = []
     stats = {"INSERT": 0, "UPDATE": 0, "DELETE": 0, "pk_change": 0,

@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 GTID_WIDTH = 12
 POS_WIDTH = 12
 
+# full-width floor: sorts before every real LSN, same width — so suffix
+# tricks (lsn || '~x' sorting right after lsn) stay valid on seed rows
+# whose _source_lsn is empty
+ZERO_LSN = f"{0:0{GTID_WIDTH}d}:mysql-bin.000000:{0:0{POS_WIDTH}d}"
+
 
 def encode_lsn_py(gtid_seq: int, binlog_file: str, binlog_pos: int) -> str:
     return f"{gtid_seq:0{GTID_WIDTH}d}:{binlog_file}:{binlog_pos:0{POS_WIDTH}d}"

@@ -88,8 +88,14 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
                     lo: str | None, hi: str | None,
                     batch_id: str | None = None,
                     salt_partitions: int | None = None,
-                    wire: bool = False) -> dict:
-    """LWW-collapse + MERGE the DML events with lo < lsn ≤ hi."""
+                    wire: bool = False,
+                    views: list | None = None) -> dict:
+    """LWW-collapse + MERGE the DML events with lo < lsn ≤ hi.
+
+    ``views``: JoinedView instances maintained from the SAME net-change set
+    in the same range (the ES-adapter denormalized-sync analog,
+    client-adapter/escore/.../ESSyncService.java:458-492) — the collapse
+    shuffle is persisted once and reused for every sink."""
     rng = events
     if lo:
         rng = rng.where(F.col("lsn") > lo)
@@ -102,27 +108,39 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
         net = wire_net_changes(rng, key=table.key_col,
                                image_schema=table.schema(),
                                salt_partitions=salt_partitions)
+    else:
+        data_cols = table.logical_columns()
+        available = _image_fields(rng)
+        rng_cols = [c for c in data_cols if available is None or c in available]
+        changes = changes_from_events(rng, key=table.key_col, data_cols=rng_cols)
+        # columns added by DDL exist in the sink but may be absent from the
+        # segments in this range; fill with NULLs of the sink's type
+        for c in data_cols:
+            if c not in changes.columns:
+                changes = changes.withColumn(
+                    c, F.lit(None).cast(table.schema()[c].dataType)
+                )
+        net = collapse_lww(changes, key=table.key_col,
+                           salt_partitions=salt_partitions)
+    if not views:
         return table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
-    data_cols = table.logical_columns()
-    available = _image_fields(rng)
-    rng_cols = [c for c in data_cols if available is None or c in available]
-    changes = changes_from_events(rng, key=table.key_col, data_cols=rng_cols)
-    # columns added by DDL exist in the sink but may be absent from the
-    # segments in this range; fill with NULLs of the sink's type
-    for c in data_cols:
-        if c not in changes.columns:
-            changes = changes.withColumn(
-                c, F.lit(None).cast(table.schema()[c].dataType)
-            )
-    net = collapse_lww(changes, key=table.key_col,
-                       salt_partitions=salt_partitions)
-    return table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
+    net = net.persist()
+    try:
+        res = table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
+        for i, v in enumerate(views):
+            v.apply(net,
+                    batch_id=None if batch_id is None else f"{batch_id}/v{i}",
+                    max_lsn=hi)
+        return res
+    finally:
+        net.unpersist()
 
 
 def apply_events(events: DataFrame, table: LakeTable,
                  batch_id: str | None = None,
                  salt_partitions: int | None = None,
-                 wire: bool = False) -> ReplayStats:
+                 wire: bool = False,
+                 views: list | None = None) -> ReplayStats:
     """Apply a prepared (filtered, LSN'd, ROWDATA-only) event range:
     DDL-split sub-ranges, merge each, mirror DDL between them."""
     stats = ReplayStats()
@@ -148,17 +166,23 @@ def apply_events(events: DataFrame, table: LakeTable,
         res = apply_dml_range(
             dml, table, lo, ddl_lsn,
             batch_id=None if batch_id is None else f"{batch_id}/r{i}",
-            salt_partitions=salt_partitions, wire=wire,
+            salt_partitions=salt_partitions, wire=wire, views=views,
         )
         stats.merges.append(res)
         stats.ranges += 1
-        tracker.apply_ddl(sql, ddl_lsn)
+        applied = tracker.apply_ddl(sql, ddl_lsn)
+        # TRUNCATE wipes the main table metadata-only; mirrored views hold
+        # rows derived from it, so the same fence propagates to each
+        for cmd in applied:
+            if cmd.kind == "TRUNCATE":
+                for v in views or []:
+                    v.table.truncate(lsn=ddl_lsn)
         stats.ddls += 1
         lo = ddl_lsn
     res = apply_dml_range(
         dml, table, lo, None,
         batch_id=None if batch_id is None else f"{batch_id}/tail",
-        salt_partitions=salt_partitions, wire=wire,
+        salt_partitions=salt_partitions, wire=wire, views=views,
     )
     stats.merges.append(res)
     stats.ranges += 1
@@ -175,7 +199,8 @@ def group_replay(spark: SparkSession, log_dirs: list[str], table: LakeTable,
                  table_regex: str = r"^train\.tokseq$",
                  batch_id: str | None = None,
                  salt_partitions: int | None = None,
-                 wire: bool = False) -> ReplayStats:
+                 wire: bool = False,
+                 views: list | None = None) -> ReplayStats:
     """Batch replay of N sharded logs as ONE timeline (GroupEventParser
     analog, batch form): per-shard scans union under a ``src_id`` tag and
     every event gets the merged (execute_ts, src, native-lsn) LSN, so the
@@ -197,7 +222,8 @@ def group_replay(spark: SparkSession, log_dirs: list[str], table: LakeTable,
     ev = prepare_events(raw, table_regex=table_regex)
     ev = ev.withColumn("lsn", merged_lsn_col())
     return apply_events(ev, table, batch_id=batch_id,
-                        salt_partitions=salt_partitions, wire=wire)
+                        salt_partitions=salt_partitions, wire=wire,
+                        views=views)
 
 
 def replay(spark: SparkSession, log_dir: str, table: LakeTable,
@@ -206,7 +232,8 @@ def replay(spark: SparkSession, log_dir: str, table: LakeTable,
            batch_id: str | None = None,
            salt_partitions: int | None = None,
            wire: bool = False,
-           start: "StartPosition | None" = None) -> ReplayStats:
+           start: "StartPosition | None" = None,
+           views: list | None = None) -> ReplayStats:
     """Batch replay of a (portion of the) event log into the sink table.
 
     ``start`` (streaming/positions.find_start_position) bootstraps from a
@@ -225,4 +252,5 @@ def replay(spark: SparkSession, log_dir: str, table: LakeTable,
         raw = raw.where(start.predicate())
     ev = prepare_events(raw, table_regex=table_regex)
     return apply_events(ev, table, batch_id=batch_id,
-                        salt_partitions=salt_partitions, wire=wire)
+                        salt_partitions=salt_partitions, wire=wire,
+                        views=views)

@@ -1,0 +1,133 @@
+"""Incrementally-maintained denormalized join views (ES adapter analog).
+
+The reference's ElasticSearch adapter keeps a denormalized document per
+main-table row and patches it on EVERY DML: one-to-one joins are resolved at
+sync time by joining the changed rows against the dim tables and writing the
+joined image (client-adapter/escore/.../ESSyncService.java:458-492
+single-field join update; :493-698 one-to-many sub-table updates). A CDC
+user syncing into a serving view needs the same thing — recomputing the
+join from scratch per batch would be O(view), not O(batch).
+
+Spark-first mapping: the net-effect changes of a micro-batch (post
+LWW-collapse — one row per key) are joined against a ``broadcast(dim)`` and
+MERGEd into a second :class:`LakeTable` inside the same ``foreachBatch``.
+Per-batch view maintenance cost is the batch's size; exactly-once comes from
+the view table's own ledger + LSN fence (deletes and pk-changes arrive as
+the same D/U net rows the main table sees, so the view can never diverge
+under replays).
+
+Dim-side changes (the one-to-many direction, ESSyncService
+joinTableSimpleFieldOperation): ``apply_dim_changes`` re-enriches exactly
+the view rows whose join key changed — a semi-join against the view scan,
+O(matching rows), not O(view) rewrites thanks to MERGE file pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from canal_spark.table.lake import LakeTable
+
+
+class JoinedView:
+    """A denormalized view ``main ⨝ dim`` maintained from CDC net changes.
+
+    ``view_table``'s logical schema fixes the mapping (the ES index mapping
+    analog): main-table columns the view keeps, plus ``dim``'s payload
+    columns. Main-table DDL does NOT alter the view (a serving mapping is
+    versioned separately) — post-DDL changes simply project onto the view's
+    column set.
+    """
+
+    def __init__(self, view_table: LakeTable, dim: DataFrame, on: str):
+        self.table = view_table
+        self.dim = dim
+        self.on = on  # join column, present in both main changes and dim
+
+    def _split_cols(self) -> tuple[list[str], list[str]]:
+        dim_payload = [c for c in self.dim.columns if c != self.on]
+        main_cols = [c for c in self.table.logical_columns()
+                     if c not in dim_payload]
+        return main_cols, dim_payload
+
+    def apply(self, net_changes: DataFrame, batch_id: str | None = None,
+              max_lsn: str | None = None) -> dict:
+        """MERGE one batch of net-effect changes (key + data cols + op +
+        lsn, one row per key) into the view, enriching upserts with the
+        broadcast dim. Runs inside the same foreachBatch as the main-table
+        merge — the two tables commit independently but both are fenced by
+        the same per-key LSNs, so a crash between them replays into no-ops.
+        """
+        main_cols, dim_payload = self._split_cols()
+        dim_types = {f.name: f.dataType for f in self.dim.schema.fields}
+        # the view's mapping is versioned separately from the main table, so
+        # a main column renamed/dropped by DDL mid-stream simply stops
+        # arriving: project what the batch carries, NULL-fill the rest
+        present = set(net_changes.columns)
+        view_types = self.table.schema()
+        sel_main = [
+            F.col(c) if c in present
+            else F.lit(None).cast(view_types[c].dataType).alias(c)
+            for c in main_cols
+        ]
+
+        ups = (
+            net_changes.where(F.col("op") == "U")
+            .select(*sel_main, "op", "lsn")
+            .join(F.broadcast(self.dim), on=self.on, how="left")
+        )
+        dels = net_changes.where(F.col("op") == "D").select(
+            *sel_main,
+            *[F.lit(None).cast(dim_types[c]).alias(c) for c in dim_payload],
+            "op", "lsn",
+        )
+        cols = self.table.logical_columns()
+        enriched = ups.select(*cols, "op", "lsn").unionByName(
+            dels.select(*cols, "op", "lsn"))
+        return self.table.merge_apply(enriched, batch_id=batch_id,
+                                      max_lsn=max_lsn)
+
+    def apply_dim_changes(self, new_dim: DataFrame,
+                          changed_keys: DataFrame | None = None,
+                          batch_id: str | None = None) -> dict:
+        """One-to-many direction: the DIM changed, so re-enrich the view
+        rows that join to the changed dim keys (ESSyncService sub-table
+        update analog). ``changed_keys``: one-column DF of ``on`` values
+        that changed (defaults to all of ``new_dim`` — full dim refresh).
+
+        The view scan is filtered by the changed keys FIRST (broadcast
+        semi-join — pushes to the scan), so cost is O(rows joining the
+        changed dims); the MERGE's file pruning keeps the rewrite at the
+        same order.
+
+        LSN fencing: each refreshed row is stamped just above its OWN
+        current ``_source_lsn`` (``lsn || '~d'`` — real LSNs are
+        fixed-width, so the suffixed value sorts after the row's LSN but
+        before any later main-table event's), so the refresh always wins
+        against the row it read and never fences out a subsequent main-row
+        change. Seed rows (initial full load) carry an empty
+        ``_source_lsn``; those are floored to the full-width ZERO_LSN first
+        — ``'' || '~d'`` would sort after every real LSN and fence the row
+        forever.
+        """
+        self.dim = new_dim
+        keys = changed_keys if changed_keys is not None else new_dim.select(self.on)
+        main_cols, _ = self._split_cols()
+        affected = (
+            self.table.read_raw()
+            .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .join(F.broadcast(keys.distinct()), on=self.on, how="leftsemi")
+            .select(*main_cols, "_source_lsn")
+        )
+        from canal_spark.lsn import ZERO_LSN
+
+        floor_lsn = F.coalesce(
+            F.nullif(F.col("_source_lsn"), F.lit("")), F.lit(ZERO_LSN))
+        refreshed = (
+            affected.join(F.broadcast(new_dim), on=self.on, how="left")
+            .select(*self.table.logical_columns(),
+                    F.concat(floor_lsn, F.lit("~d")).alias("lsn"))
+            .withColumn("op", F.lit("U"))
+        )
+        return self.table.merge_apply(refreshed, batch_id=batch_id)

@@ -1,0 +1,170 @@
+"""Incrementally-maintained denormalized join views (ES adapter analog).
+
+The reference's ES adapter patches a denormalized document per main-table
+row on every DML (client-adapter/escore/.../ESSyncService.java:458-698).
+These tests replay the deterministic CDC log with a JoinedView attached and
+assert the view equals a join-from-scratch recomputation of the oracle's
+final state — including deletes, pk-changes, idempotent re-delivery,
+TRUNCATE propagation, and the dim-side (one-to-many) refresh direction.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from canal_spark.fixtures import CdcLogSpec, generate_base_table, generate_cdc_log
+from canal_spark.oracle import oracle_final_state
+from canal_spark.pipeline import replay
+from canal_spark.table.lake import LakeTable
+from canal_spark.views import JoinedView
+from tests.conftest import assert_state_equal
+
+TOKSEQ_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+VIEW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("src_kind", T.StringType()),
+    T.StructField("src_weight", T.DoubleType()),
+])
+
+DIM_ROWS = [
+    ("web", "crawl", 0.5),
+    ("books", "curated", 1.0),
+    ("code", "curated", 0.8),
+    ("wiki", "curated", 1.0),
+    ("forums", "crawl", 0.3),
+]
+DIM_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("src_kind", T.StringType()),
+    T.StructField("src_weight", T.DoubleType()),
+])
+
+
+def _setup(spark, tmp_work, spec: CdcLogSpec, n_base=300):
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+    # seed the view with the initial full load joined against the dim
+    # (RdbEtlService-style import of the serving index)
+    seeded = bdf.select("doc_id", "n_tok", "source").join(
+        F.broadcast(dim), on="source", how="left")
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "view"),
+                          VIEW_SCHEMA, n_buckets=8,
+                          df=seeded.select(*[f.name for f in VIEW_SCHEMA]))
+    return base, log_dir, table, JoinedView(vt, dim, on="source")
+
+
+def _expected_view(base, log_dir, dim_rows=DIM_ROWS):
+    """Join-from-scratch recomputation: oracle final state × dim dict."""
+    expected, cols = oracle_final_state(base, log_dir)
+    dim = {r[0]: (r[1], r[2]) for r in dim_rows}
+    out = {}
+    for doc_id, row in expected.items():
+        src = row.get("source")
+        kind, weight = dim.get(src, (None, None))
+        out[doc_id] = {
+            "doc_id": doc_id, "n_tok": row.get("n_tok"), "source": src,
+            "src_kind": kind, "src_weight": weight,
+        }
+    return out
+
+
+def _view_state(view):
+    out = {}
+    for r in view.table.read().collect():
+        d = r.asDict()
+        out[d["doc_id"]] = d
+    return out
+
+
+VIEW_COLS = [f.name for f in VIEW_SCHEMA]
+
+
+def test_joined_view_matches_recompute(spark, tmp_work):
+    """Replay with a view attached == join-from-scratch of the final state,
+    across inserts/updates/deletes/pk-changes and a DDL-split range (the
+    added column is not in the view mapping and must be projected away)."""
+    ddl = [(1500, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=3000, seed=41, events_per_file=1000,
+                      pk_change_frac=0.05, ddl_script=ddl)
+    base, log_dir, table, view = _setup(spark, tmp_work, spec)
+    stats = replay(spark, log_dir, table, batch_id="full", views=[view])
+    assert stats.ddls == 1
+    assert_state_equal(_view_state(view), _expected_view(base, log_dir),
+                       VIEW_COLS)
+
+
+def test_joined_view_idempotent_redelivery(spark, tmp_work):
+    """Re-replaying the whole log without a ledger id must leave the view
+    unchanged — the view's own per-key LSN fence absorbs duplicates."""
+    spec = CdcLogSpec(n_events=2000, seed=42, events_per_file=500)
+    base, log_dir, table, view = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _view_state(view)
+    replay(spark, log_dir, table, views=[view])  # no ledger: fence only
+    assert _view_state(view) == before
+    assert_state_equal(before, _expected_view(base, log_dir), VIEW_COLS)
+
+
+def test_joined_view_truncate_propagates(spark, tmp_work):
+    """TRUNCATE on the main table empties the view too, and post-truncate
+    DML rebuilds both consistently."""
+    ddl = [(1000, "TRUNCATE TABLE train.tokseq")]
+    spec = CdcLogSpec(n_events=2000, seed=43, ddl_script=ddl)
+    base, log_dir, table, view = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, views=[view])
+    exp = _expected_view(base, log_dir)
+    assert_state_equal(_view_state(view), exp, VIEW_COLS)
+    # main and view agree on the surviving doc set
+    main_ids = {r["doc_id"] for r in table.read().select("doc_id").collect()}
+    assert set(exp) == main_ids
+
+
+def test_joined_view_dim_refresh(spark, tmp_work):
+    """One-to-many direction: a dim row changes → only view rows joining
+    that key are re-enriched, and a LATER main-table change still wins."""
+    spec = CdcLogSpec(n_events=1500, seed=44)
+    base, log_dir, table, view = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+
+    new_rows = [("web", "crawl-v2", 0.6) if r[0] == "web" else r
+                for r in DIM_ROWS]
+    new_dim = spark.createDataFrame(new_rows, DIM_SCHEMA)
+    changed = spark.createDataFrame([("web",)], "source string")
+    view.apply_dim_changes(new_dim, changed_keys=changed, batch_id="dim1")
+
+    assert_state_equal(_view_state(view),
+                       _expected_view(base, log_dir, new_rows), VIEW_COLS)
+
+    # a later main-table event must override the dim-refresh fence:
+    # replay a fresh tail log continuing the LSN timeline
+    tail_spec = CdcLogSpec(n_events=400, seed=45, gtid_offset=10_000,
+                           file_no_offset=100, op_mix=(0.3, 0.6, 0.1))
+    tail_dir = os.path.join(tmp_work, "log_tail")
+    # continue from the CURRENT main state so the oracle stays sequential
+    import pyarrow as pa
+    cur = table.read().orderBy("doc_id").collect()
+    cur_tbl = pa.table({
+        "doc_id": [r["doc_id"] for r in cur],
+        "tokens": [list(r["tokens"]) for r in cur],
+        "n_tok": [r["n_tok"] for r in cur],
+        "source": [r["source"] for r in cur],
+    })
+    generate_cdc_log(tail_dir, tail_spec, cur_tbl)
+    view.dim = new_dim
+    replay(spark, tail_dir, table, batch_id="b1", views=[view])
+    assert_state_equal(_view_state(view),
+                       _expected_view(cur_tbl, tail_dir, new_rows), VIEW_COLS)
