@@ -117,6 +117,10 @@ class GroupStreamingReplay:
         table_regex: str = r"^train\.tokseq$",
         max_files_per_trigger: int = 1,
         salt_partitions: int | None = None,
+        views: list | None = None,
+        maintenance_every: int | None = None,
+        max_files_per_bucket: int = 8,
+        snapshots_keep: int = 4,
     ):
         self.spark = spark
         self.log_dirs = list(log_dirs)
@@ -125,6 +129,11 @@ class GroupStreamingReplay:
         self.table_regex = table_regex
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
+        self.views = list(views or [])
+        self.maintenance_every = maintenance_every
+        self.max_files_per_bucket = max_files_per_bucket
+        self.snapshots_keep = snapshots_keep
+        self._data_epochs = 0
         self.tail_state = TxnTailState(
             spark, os.path.join(self.checkpoint_dir, "txn_tail"))
         self.metrics = MetricsLog(
@@ -166,6 +175,7 @@ class GroupStreamingReplay:
                 batch_id=f"epoch-{epoch_id}",
                 salt_partitions=self.salt_partitions,
                 wire=True,
+                views=self.views,
             )
             # tail spill AFTER the merge committed (crash ⇒ epoch replays,
             # ledger no-ops, same tail rebuilt) — native lsn kept, the
@@ -174,7 +184,19 @@ class GroupStreamingReplay:
         finally:
             ev.unpersist()
 
+        maint = None
+        if self.maintenance_every and n_rows:
+            self._data_epochs += 1
+            if self._data_epochs % self.maintenance_every == 0:
+                maint = {"table": self.table.maintain(
+                    max_files_per_bucket=self.max_files_per_bucket,
+                    snapshots_keep=self.snapshots_keep)}
+                for i, v in enumerate(self.views):
+                    maint[f"view{i}"] = v.table.maintain(
+                        max_files_per_bucket=self.max_files_per_bucket,
+                        snapshots_keep=self.snapshots_keep)
         self.metrics.append({
+            **({"maintenance": maint} if maint else {}),
             "epoch": epoch_id,
             "rows": n_rows,
             "events_applied": stats.events,
@@ -213,5 +235,5 @@ class GroupStreamingReplay:
         if tail is None:
             return
         apply_events(tail.withColumn("lsn", merged_lsn_col()),
-                     self.table, batch_id=None, wire=True)
+                     self.table, batch_id=None, wire=True, views=self.views)
         self.tail_state.clear()

@@ -65,6 +65,10 @@ class StreamingReplay:
         salt_partitions: int | None = None,
         txn_aligned: bool = True,
         start=None,
+        views: list | None = None,
+        maintenance_every: int | None = None,
+        max_files_per_bucket: int = 8,
+        snapshots_keep: int = 4,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -74,6 +78,16 @@ class StreamingReplay:
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
         self.txn_aligned = txn_aligned
+        # JoinedView sinks maintained inside the same foreachBatch
+        # (ES-adapter denormalized sync — see canal_spark/views.py)
+        self.views = list(views or [])
+        # auto-maintenance cadence (VERDICT r02 next #5): every N data-bearing
+        # epochs, compact fragmented buckets + expire snapshots on the sink
+        # AND every view sink — bounded files/tombstones over a long tail
+        self.maintenance_every = maintenance_every
+        self.max_files_per_bucket = max_files_per_bucket
+        self.snapshots_keep = snapshots_keep
+        self._data_epochs = 0
         # bootstrap-without-checkpoint start (positions.StartPosition):
         # applied as a per-batch boundary predicate; events before it are
         # dropped before any expensive work (the checkpoint, once written,
@@ -119,6 +133,7 @@ class StreamingReplay:
                 batch_id=f"epoch-{epoch_id}",
                 salt_partitions=self.salt_partitions,
                 wire=True,
+                views=self.views,
             )
             lag_row = complete.agg(F.max("execute_ts").alias("m")).collect()[0]
             # tail spill AFTER the merge committed: a crash in between
@@ -128,7 +143,9 @@ class StreamingReplay:
         finally:
             complete.unpersist()
 
+        maint = self._maybe_maintain(n_rows)
         self.metrics.append({
+            **({"maintenance": maint} if maint else {}),
             "epoch": epoch_id,
             "rows": n_rows,
             "events_applied": stats.events,
@@ -143,6 +160,26 @@ class StreamingReplay:
             "batch_sec": time.time() - t0,
             "table_version": self.table.version,
         })
+
+    def _maybe_maintain(self, n_rows: int) -> dict | None:
+        """Every ``maintenance_every`` data-bearing epochs, run
+        LakeTable.maintain on the sink and each view sink. A crash right
+        after maintenance is safe: the epoch already committed (ledger), and
+        maintenance itself only rewrites/drops files — replaying it is
+        idempotent."""
+        if not self.maintenance_every or not n_rows:
+            return None
+        self._data_epochs += 1
+        if self._data_epochs % self.maintenance_every:
+            return None
+        out = {"table": self.table.maintain(
+            max_files_per_bucket=self.max_files_per_bucket,
+            snapshots_keep=self.snapshots_keep)}
+        for i, v in enumerate(self.views):
+            out[f"view{i}"] = v.table.maintain(
+                max_files_per_bucket=self.max_files_per_bucket,
+                snapshots_keep=self.snapshots_keep)
+        return out
 
     # -------------------------------------------------------------- run
     def start(self, available_now: bool = True):
@@ -174,5 +211,6 @@ class StreamingReplay:
             return
         # no batch id: the LSN fence alone makes a re-flush idempotent, and a
         # constant id would wrongly skip flushes of NEW tails in later runs
-        apply_events(tail, self.table, batch_id=None, wire=True)
+        apply_events(tail, self.table, batch_id=None, wire=True,
+                     views=self.views)
         self.tail_state.clear()

@@ -90,7 +90,8 @@ class LakeTable:
     @classmethod
     def create(cls, spark: SparkSession, path: str, schema: T.StructType,
                key_col: str = "doc_id", n_buckets: int = 16,
-               df: DataFrame | None = None) -> "LakeTable":
+               df: DataFrame | None = None,
+               max_records_per_file: int = 1_000_000) -> "LakeTable":
         """Create the table; optionally seed it with an initial full load
         (the reference's ETL import, client-adapter/rdb/.../RdbEtlService.java:30-60)."""
         path = os.path.abspath(path)
@@ -106,6 +107,12 @@ class LakeTable:
                 for f in schema.fields
             ],
             "files": {},              # bucket(str) -> [relative file names]
+            # roll size for bucket rewrites: files stay key-range-DISJOINT
+            # within a bucket (writes are key-sorted), so a rewrite cannot
+            # produce one file whose [min,max] spans the whole bucket and
+            # defeats file-level MERGE pruning forever after. Size it to the
+            # target file bytes on a real cluster (~128 MB / avg row size).
+            "max_records_per_file": max_records_per_file,
             "applied_batches": [],
             "watermark_lsn": "",
             "parent": None,
@@ -254,7 +261,13 @@ class LakeTable:
         (
             df.repartition(self.n_buckets, "_b")
             .sortWithinPartitions(*sort_cols)
-            .write.partitionBy("_b").mode("overwrite").parquet(staging)
+            # key-sorted rows + a roll cap ⇒ the rolled files of one bucket
+            # carry DISJOINT key ranges, keeping file-level pruning sharp
+            # across rewrites (Iceberg write.target-file-size analog)
+            .write.option(
+                "maxRecordsPerFile",
+                str(self.snap.get("max_records_per_file") or 0))
+            .partitionBy("_b").mode("overwrite").parquet(staging)
         )
         out: dict[str, list[str]] = {}
         stats: dict[str, list[str]] = {}
@@ -355,8 +368,13 @@ class LakeTable:
         chg.persist()
         try:
             # ONE metadata action for touched-buckets + op counts (three
-            # separate actions re-ran the upstream collapse shuffle each)
-            bstats = chg.groupBy("_b", "_c_op").count().collect()
+            # separate actions re-ran the upstream collapse shuffle each);
+            # the observed max applied LSN rides the same aggregate so the
+            # watermark advances on DDL-free tail ranges too (hi=None —
+            # otherwise a plain stream never arms maintain())
+            bstats = (chg.groupBy("_b", "_c_op")
+                      .agg(F.count("*").alias("count"),
+                           F.max("_c_lsn").alias("mx")).collect())
             touched = sorted({r["_b"] for r in bstats})
             if not touched:  # empty batch: no data, no version churn
                 if batch_id is not None:
@@ -457,8 +475,10 @@ class LakeTable:
             if batch_id is not None:
                 snap["applied_batches"] = _ledger_add(
                     snap["applied_batches"], batch_id)
-            if max_lsn:
-                snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), max_lsn)
+            obs_lsn = max((r["mx"] for r in bstats if r["mx"]), default=None)
+            wm = max(filter(None, [max_lsn, obs_lsn]), default=None)
+            if wm:
+                snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), wm)
             self._write_snapshot(snap)
             return {"skipped": False, "version": version,
                     "buckets": len(touched), "upserts": n_up, "deletes": n_del,
@@ -558,6 +578,38 @@ class LakeTable:
             files[str(b)] = new_files.get(str(b), [])
         file_stats.update(new_stats)
         self._commit_meta(files=files, file_stats=file_stats, version=version)
+
+    def maintain(self, max_files_per_bucket: int = 8,
+                 snapshots_keep: int = 4) -> dict:
+        """Scheduled maintenance for a long-running apply loop: compact the
+        buckets fragmented past ``max_files_per_bucket`` and expire
+        superseded snapshots (the reference frees acked events from its ring
+        buffer, store/.../MemoryEventStoreWithBuffer.java:463-519 — the lake
+        analog is dropping superseded files and fenced tombstones so neither
+        grows without bound over the streaming tail).
+
+        Guard: a no-op until ``watermark_lsn`` is set. The watermark proves
+        the applied range is committed behind the batch ledger + LSN fence:
+        a redelivery replays the same epochs (ledger no-op) or newer events
+        (the fence admits them anyway), so dropping a tombstone cannot let
+        a redelivered older event resurrect the key. Callers doing manual
+        un-ledgered replays of OLD segments must not interleave them with
+        maintenance.
+
+        Scale: the fragmentation probe is metadata-only (the snapshot's
+        files map); compaction cost is proportional to actual churn, never
+        table size; expire_snapshots is metadata + file deletes.
+        """
+        self.refresh()
+        if not self.snap.get("watermark_lsn"):
+            return {"skipped": True, "compacted_buckets": [], "files_removed": 0}
+        frag = sorted(int(b) for b, fs in self.snap["files"].items()
+                      if len(fs) > max_files_per_bucket)
+        if frag:
+            self.compact(buckets=frag)
+        removed = self.expire_snapshots(keep_last=snapshots_keep)
+        return {"skipped": False, "compacted_buckets": frag,
+                "files_removed": removed}
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots."""

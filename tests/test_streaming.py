@@ -19,7 +19,7 @@ TOKSEQ_SCHEMA = T.StructType([
 ])
 
 
-def _setup(spark, tmp_work, spec: CdcLogSpec, n_base=200):
+def _setup(spark, tmp_work, spec: CdcLogSpec, n_base=200, **lake_kw):
     base = generate_base_table(n_base, seed=spec.seed)
     typed_dir = os.path.join(tmp_work, "typed")
     generate_cdc_log(typed_dir, spec, base)
@@ -27,7 +27,7 @@ def _setup(spark, tmp_work, spec: CdcLogSpec, n_base=200):
     convert_log_to_wire(spark, typed_dir, wire_dir)
     bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
     table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
-                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf, **lake_kw)
     return base, typed_dir, wire_dir, table
 
 
@@ -96,6 +96,103 @@ def test_streaming_with_ddl(spark, tmp_work):
     sr.flush_tail()
     assert table.logical_columns() == ["doc_id", "tokens", "n_tok", "src", "lang"]
     _check(table, base, typed_dir)
+
+
+def test_streaming_maintenance_long_tail(spark, tmp_work):
+    """Long tail with auto-maintenance every 3 data epochs: file counts and
+    tombstones stay bounded, snapshots expire, a mid-stream kill/resume
+    keeps the state (and an attached JoinedView) oracle-equal.
+    VERDICT r02 next #5."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from canal_spark.views import JoinedView
+
+    # Insert-heavy + all updates/deletes on a small hot set: monotone new
+    # keys land OUTSIDE existing files' [min,max] ranges, so the file-level
+    # MERGE pruning carries most files forward and appends a new file per
+    # bucket per epoch — exactly the fragmentation compaction must bound.
+    spec = CdcLogSpec(n_events=3000, seed=25, events_per_file=150,
+                      op_mix=(0.7, 0.2, 0.1), hot_keys=8, hot_frac=1.0)
+    # tiny roll cap ⇒ rewrites split into range-disjoint files, so the hot
+    # rewrites and the carried insert files fragment buckets realistically
+    base, typed_dir, wire_dir, table = _setup(spark, tmp_work, spec,
+                                              max_records_per_file=24)
+
+    dim_rows = [("web", "crawl"), ("books", "curated"), ("code", "curated"),
+                ("wiki", "curated"), ("forums", "crawl")]
+    dim = spark.createDataFrame(dim_rows, "source string, src_kind string")
+    view_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("src_kind", T.StringType()),
+    ])
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    vt = LakeTable.create(
+        spark, os.path.join(tmp_work, "view"), view_schema, n_buckets=8,
+        max_records_per_file=24,
+        df=bdf.select("doc_id", "n_tok", "source")
+              .join(F.broadcast(dim), "source", "left")
+              .select("doc_id", "n_tok", "source", "src_kind"))
+    view = JoinedView(vt, dim, on="source")
+
+    ckpt = os.path.join(tmp_work, "ckpt")
+    kw = dict(max_files_per_trigger=1, views=[view], maintenance_every=3,
+              max_files_per_bucket=2, snapshots_keep=3)
+
+    # phase 1: a few epochs, then hard kill
+    sr1 = StreamingReplay(spark, wire_dir, table, ckpt, **kw)
+    q = sr1.start(available_now=True)
+    while len(sr1.metrics.read()) < 5:
+        q.awaitTermination(0.2)
+    q.stop()
+
+    # phase 2: resume from the checkpoint, drain, flush
+    sr2 = StreamingReplay(spark, wire_dir, table.refresh(), ckpt, **kw)
+    sr2.run_to_completion()
+    sr2.flush_tail()
+    _check(table.refresh(), base, typed_dir)
+
+    # the view tracked the whole stream too
+    expected, _cols = oracle_final_state(base, typed_dir)
+    dimd = dict(dim_rows)
+    vstate = {r["doc_id"]: r.asDict() for r in view.table.read().collect()}
+    assert set(vstate) == set(expected)
+    assert all(v["src_kind"] == dimd[expected[k]["source"]]
+               and v["n_tok"] == expected[k]["n_tok"]
+               for k, v in vstate.items())
+
+    # maintenance actually ran and compacted fragmented buckets
+    maints = [m["maintenance"] for m in sr1.metrics.read() + sr2.metrics.read()
+              if m.get("maintenance")]
+    assert any(m["table"]["compacted_buckets"] for m in maints), maints
+    assert any(m["table"]["files_removed"] > 0 for m in maints)
+
+    # bounded fragmentation: a bucket cannot hold fewer than
+    # ceil(rows/max_records_per_file) files (the roll cap), so assert each
+    # bucket stays within the floor plus a few epochs' worth of churn —
+    # nowhere near the ~#commits a no-maintenance tail accrues
+    import math
+    snap = table.refresh().snap
+    worst_over_floor = 0
+    for b, fs in snap["files"].items():
+        n_rows = table.read_raw(buckets=[int(b)]).count()
+        floor = math.ceil(n_rows / 24) if n_rows else 1
+        worst_over_floor = max(worst_over_floor, len(fs) - floor)
+    assert worst_over_floor <= 2 * 3, worst_over_floor  # ≤ 2×maintenance_every
+    # snapshots expired: far fewer metadata versions on disk than commits
+    n_meta = len([f for f in _os.listdir(table.meta_dir)
+                  if f.startswith("v") and f.endswith(".json")])
+    assert n_meta < snap["version"], (n_meta, snap["version"])
+
+    # tombstones purged by compaction: far fewer tombstone rows remain than
+    # deletes were applied over the stream
+    n_tomb = (table.read_raw()
+              .where(F.coalesce(F.col("_deleted"), F.lit(False))).count())
+    total_deletes = int(spec.n_events * spec.op_mix[2] * 0.8)
+    assert n_tomb < total_deletes, (n_tomb, total_deletes)
 
 
 def test_streaming_truncate_fence(spark, tmp_work):
