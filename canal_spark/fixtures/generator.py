@@ -268,6 +268,9 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
 
     extra_cols: list[str] = []                  # widened by ADD COLUMN DDLs
     renames: dict[str, str] = {}
+    # the emitted table name follows RENAME TABLE (rename-follow end-to-end:
+    # post-rename DML arrives under the NEW name, as MySQL would write it)
+    cur_name = ["train", "tokseq"]
     ddl_iter = iter(sorted(spec.ddl_script))
     next_ddl = next(ddl_iter, None)
 
@@ -335,7 +338,7 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
         else:
             etype = "QUERY"
         seg.add("ROWDATA", etype, gtid, segment_name(), pos, ts_us,
-                "train", "tokseq", txn, True, sql)
+                cur_name[0], cur_name[1], txn, True, sql)
         pos += 120
         ts_us += 1000
         _apply_ddl_to_generator(sql)
@@ -375,6 +378,15 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
                     img.pop(col, None)
                 seg = _SegmentBuffer(extra_cols)
             return
+        m = (re.match(r"(?i)rename\s+table\s+([\w.`$]+)\s+to\s+([\w.`$]+)", up)
+             or re.match(r"(?i)alter\s+table\s+([\w.`$]+)\s+rename\s+(?:to|as)\s+([\w.`$]+)", up))
+        if m:
+            new_name = m.group(2).strip("`")
+            if "." in new_name:
+                cur_name[0], cur_name[1] = new_name.split(".", 1)
+            else:
+                cur_name[1] = new_name
+            return
         if re.match(r"(?i)truncate\s", up):
             live.clear()
             live_keys.clear()
@@ -395,7 +407,7 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
         txn_size = min(int(rng.integers(1, spec.txn_max + 1)),
                        spec.n_events - emitted, 1024)
         seg.add("TRANSACTIONBEGIN", "QUERY", gtid, segment_name(), pos, ts_us,
-                "train", "tokseq", txn, False, "BEGIN")
+                cur_name[0], cur_name[1], txn, False, "BEGIN")
         pos += 60
         for _ in range(txn_size):
             # non-subscribed table noise
@@ -417,7 +429,7 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
                 if len(hot) < spec.hot_keys:
                     hot.append(doc_id)
                 seg.add("ROWDATA", "INSERT", gtid, segment_name(), pos, ts_us,
-                        "train", "tokseq", txn, False, None, None, img)
+                        cur_name[0], cur_name[1], txn, False, None, None, img)
                 stats["INSERT"] += 1
             elif u < op_cdf[1]:
                 k = pick_live()
@@ -435,7 +447,7 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
                 if new_key != k:
                     live_keys.append(new_key)
                 seg.add("ROWDATA", "UPDATE", gtid, segment_name(), pos, ts_us,
-                        "train", "tokseq", txn, False, None, before, after)
+                        cur_name[0], cur_name[1], txn, False, None, before, after)
                 stats["UPDATE"] += 1
             else:
                 k = pick_live()
@@ -443,13 +455,13 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
                     continue
                 before = live.pop(k)
                 seg.add("ROWDATA", "DELETE", gtid, segment_name(), pos, ts_us,
-                        "train", "tokseq", txn, False, None, before, None)
+                        cur_name[0], cur_name[1], txn, False, None, before, None)
                 stats["DELETE"] += 1
             pos += 80
             ts_us += 1000
             emitted += 1
         seg.add("TRANSACTIONEND", "QUERY", gtid, segment_name(), pos, ts_us,
-                "train", "tokseq", txn, False, "COMMIT")
+                cur_name[0], cur_name[1], txn, False, "COMMIT")
         pos += 40
         roll_segment()
     # trailing DDLs pinned past the end

@@ -32,12 +32,16 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
     """
     state = dict(base_rows)
     cols = list(columns or BASE_COLS)
+    # the subscription follows RENAME TABLE (rename-follow, like the
+    # engine's SchemaTracker): DML under the new name keeps applying, DML
+    # under the stale old name stops
+    sub = SUBSCRIBED
     for ev in events:
         if ev["entry_type"] != "ROWDATA":
             continue
-        if (ev["schema_name"], ev["table_name"]) != SUBSCRIBED:
-            continue
         if ev["is_ddl"]:
+            if (ev["schema_name"], ev["table_name"]) != sub:
+                continue
             # classify with the SHARED grammar (schema/ddl.py) — the oracle
             # must track exactly the column set the engine tracks; the
             # *application* semantics below stay independent (a sequential
@@ -64,7 +68,14 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
                         row.pop(cmd.column, None)
                 elif cmd.kind == "TRUNCATE":
                     state.clear()
+                elif cmd.kind == "RENAME_TABLE":
+                    new_name = cmd.new_name or ""
+                    sub = (tuple(new_name.split(".", 1)) if "." in new_name
+                           else (sub[0], new_name))
                 # MODIFY_COLUMN: values are untyped python objects — no-op
+            continue
+
+        if (ev["schema_name"], ev["table_name"]) != sub:
             continue
 
         op = ev["event_type"]

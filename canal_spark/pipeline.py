@@ -161,10 +161,34 @@ def apply_events(events: DataFrame, table: LakeTable,
     dml = events.where(~F.col("is_ddl"))
 
     tracker = SchemaTracker(table)
+    # Pre-classify the DDL list against the (evolving) subscription with the
+    # tracker's own pure relevance/follow rules: foreign-table DDL must not
+    # split merge ranges, and each range's DML gate below uses the table
+    # name active IN that range — so after RENAME TABLE, events arriving
+    # under the new name keep merging and stale events under the old name
+    # stop (DatabaseTableMeta keeps tracking the renamed table,
+    # parse/.../tsdb/DatabaseTableMeta.java:161-181).
+    from canal_spark.schema.ddl import parse_ddl_statements
+
+    sub = tracker.subscribed
+    ranges: list[tuple[str, str, tuple[str, str]]] = []
+    for ddl_lsn, sql in ddls:
+        cmds = parse_ddl_statements(sql)
+        if any(SchemaTracker.relevant(c, sub) for c in cmds):
+            ranges.append((ddl_lsn, sql, sub))
+        for c in cmds:
+            sub = SchemaTracker.follow(c, sub)
+
+    def _gate(df: DataFrame, s: tuple[str, str]) -> DataFrame:
+        # two plain column equalities (not a concat/rlike) so the predicate
+        # pushes into the parquet scan of each per-range merge job
+        return df.where((F.col("schema_name") == s[0])
+                        & (F.col("table_name") == s[1]))
+
     lo: str | None = None
-    for i, (ddl_lsn, sql) in enumerate(ddls):
+    for i, (ddl_lsn, sql, sub_i) in enumerate(ranges):
         res = apply_dml_range(
-            dml, table, lo, ddl_lsn,
+            _gate(dml, sub_i), table, lo, ddl_lsn,
             batch_id=None if batch_id is None else f"{batch_id}/r{i}",
             salt_partitions=salt_partitions, wire=wire, views=views,
         )
@@ -180,7 +204,7 @@ def apply_events(events: DataFrame, table: LakeTable,
         stats.ddls += 1
         lo = ddl_lsn
     res = apply_dml_range(
-        dml, table, lo, None,
+        _gate(dml, tracker.subscribed), table, lo, None,
         batch_id=None if batch_id is None else f"{batch_id}/tail",
         salt_partitions=salt_partitions, wire=wire, views=views,
     )
@@ -196,7 +220,7 @@ def apply_events(events: DataFrame, table: LakeTable,
 
 
 def group_replay(spark: SparkSession, log_dirs: list[str], table: LakeTable,
-                 table_regex: str = r"^train\.tokseq$",
+                 table_regex: str | None = None,
                  batch_id: str | None = None,
                  salt_partitions: int | None = None,
                  wire: bool = False,
@@ -228,7 +252,7 @@ def group_replay(spark: SparkSession, log_dirs: list[str], table: LakeTable,
 
 def replay(spark: SparkSession, log_dir: str, table: LakeTable,
            files: list[str] | None = None,
-           table_regex: str = r"^train\.tokseq$",
+           table_regex: str | None = None,
            batch_id: str | None = None,
            salt_partitions: int | None = None,
            wire: bool = False,

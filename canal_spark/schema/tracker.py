@@ -53,12 +53,32 @@ class SchemaTracker:
         self.table._commit_meta(last_ddl_lsn=lsn)
         return applied
 
-    def _apply_one(self, cmd: DdlCommand, lsn: str) -> bool:
+    @staticmethod
+    def relevant(cmd: DdlCommand, subscribed: tuple[str, str]) -> bool:
+        """Does ``cmd`` target the subscribed table? (Pure — usable to
+        pre-classify a DDL list without mutating any sink state.)"""
         if cmd.kind == "IGNORE":
             return False
-        if cmd.table is not None and (
-            (cmd.schema or self.subscribed[0]), cmd.table
-        ) != self.subscribed:
+        return cmd.table is None or (
+            (cmd.schema or subscribed[0]), cmd.table
+        ) == subscribed
+
+    @staticmethod
+    def follow(cmd: DdlCommand,
+               subscribed: tuple[str, str]) -> tuple[str, str]:
+        """Subscription after ``cmd``: RENAME TABLE moves it (the
+        DatabaseTableMeta keeps tracking the renamed table), everything
+        else leaves it unchanged."""
+        if cmd.kind != "RENAME_TABLE" or not SchemaTracker.relevant(
+                cmd, subscribed):
+            return subscribed
+        new = cmd.new_name or ""
+        if "." in new:
+            return tuple(new.split(".", 1))
+        return (subscribed[0], new)
+
+    def _apply_one(self, cmd: DdlCommand, lsn: str) -> bool:
+        if not self.relevant(cmd, self.subscribed):
             return False
 
         cols = self.table.logical_columns()
@@ -87,11 +107,7 @@ class SchemaTracker:
         elif cmd.kind == "RENAME_TABLE":
             # the subscription follows the rename (DatabaseTableMeta keeps
             # tracking the renamed table); record it in the snapshot
-            new = cmd.new_name or ""
-            if "." in new:
-                self.subscribed = tuple(new.split(".", 1))
-            else:
-                self.subscribed = (self.subscribed[0], new)
+            self.subscribed = self.follow(cmd, self.subscribed)
             self.table._commit_meta(subscribed=list(self.subscribed))
         else:
             return False

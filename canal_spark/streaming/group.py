@@ -114,7 +114,7 @@ class GroupStreamingReplay:
         log_dirs: list[str],
         table: LakeTable,
         checkpoint_dir: str,
-        table_regex: str = r"^train\.tokseq$",
+        table_regex: str | None = None,
         max_files_per_trigger: int = 1,
         salt_partitions: int | None = None,
         views: list | None = None,

@@ -60,7 +60,7 @@ class StreamingReplay:
         log_dir: str,
         table: LakeTable,
         checkpoint_dir: str,
-        table_regex: str = r"^train\.tokseq$",
+        table_regex: str | None = None,
         max_files_per_trigger: int = 1,
         salt_partitions: int | None = None,
         txn_aligned: bool = True,

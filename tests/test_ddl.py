@@ -167,3 +167,70 @@ def test_type_kernel():
     assert mysql_type_to_spark("json") == T.StringType()
     assert mysql_type_to_spark("datetime(6)") == T.TimestampType()
     assert mysql_type_to_spark("some_future_type") == T.StringType()
+
+
+# ------------------------------------------------------- golden fixtures
+# ADVICE r02: the oracle classifies DDL with the engine's own grammar, so a
+# grammar bug would change both sides identically and parity tests would
+# stay green. These golden expectations are HAND-WRITTEN (not produced by
+# any parser) for every DDL shape the fixture generator and the driver
+# queries emit — an independent anchor for the shared grammar.
+
+GOLDEN_DDL = [
+    # (sql, [(kind, column, new_name)])
+    ("ALTER TABLE train.tokseq ADD COLUMN quality_tier TEXT",
+     [("ADD_COLUMN", "quality_tier", None)]),
+    ("ALTER TABLE train.tokseq ADD COLUMN lang VARCHAR(8)",
+     [("ADD_COLUMN", "lang", None)]),
+    ("ALTER TABLE train.tokseq RENAME COLUMN quality_tier TO q_tier",
+     [("RENAME_COLUMN", "quality_tier", "q_tier")]),
+    ("ALTER TABLE train.tokseq DROP COLUMN lang",
+     [("DROP_COLUMN", "lang", None)]),
+    ("ALTER TABLE train.tokseq MODIFY COLUMN q_tier VARCHAR(32)",
+     [("MODIFY_COLUMN", "q_tier", None)]),
+    ("ALTER TABLE train.tokseq CHANGE COLUMN q_tier tier VARCHAR(32)",
+     [("CHANGE_COLUMN", "q_tier", "tier")]),
+    ("ALTER TABLE train.tokseq ADD COLUMN a TEXT, ADD COLUMN b TEXT",
+     [("ADD_COLUMN", "a", None), ("ADD_COLUMN", "b", None)]),
+    ("ALTER TABLE train.tokseq ADD COLUMN pos_c TEXT AFTER source",
+     [("ADD_COLUMN", "pos_c", None)]),
+    ("TRUNCATE TABLE train.tokseq",
+     [("TRUNCATE", None, None)]),
+    ("RENAME TABLE train.tokseq TO train.tokseq_v2",
+     [("RENAME_TABLE", None, "train.tokseq_v2")]),
+    ("ALTER TABLE train.tokseq RENAME TO tokseq_v2",
+     [("RENAME_TABLE", None, "tokseq_v2")]),
+    # shape-preserving statements the skip-list must ignore entirely
+    ("CREATE INDEX idx_src ON train.tokseq (source)",
+     [("IGNORE", None, None)]),
+    ("ALTER TABLE train.tokseq ADD INDEX idx_src (source)",
+     [("IGNORE", None, None)]),
+    ("ANALYZE TABLE train.tokseq",
+     [("IGNORE", None, None)]),
+]
+
+
+def test_golden_ddl_fixtures():
+    for sql, expected in GOLDEN_DDL:
+        got = [(c.kind, c.column, c.new_name)
+               for c in parse_ddl_statements(sql)]
+        assert got == expected, f"{sql!r}: {got} != {expected}"
+
+
+def test_golden_subscription_walk():
+    """Independent end-state check of the rename-follow walk: fold the
+    golden DDL list's renames by hand-expected end state."""
+    from canal_spark.schema.tracker import SchemaTracker
+
+    sub = ("train", "tokseq")
+    for sql, _ in GOLDEN_DDL[:9]:
+        for c in parse_ddl_statements(sql):
+            sub = SchemaTracker.follow(c, sub)
+    assert sub == ("train", "tokseq")  # no rename yet
+    for c in parse_ddl_statements("RENAME TABLE train.tokseq TO train.tokseq_v2"):
+        sub = SchemaTracker.follow(c, sub)
+    assert sub == ("train", "tokseq_v2")
+    # a rename of some OTHER table must not move the subscription
+    for c in parse_ddl_statements("RENAME TABLE train.other TO train.other2"):
+        sub = SchemaTracker.follow(c, sub)
+    assert sub == ("train", "tokseq_v2")

@@ -72,7 +72,8 @@ def test_replay_with_ddl_schema_evolution(spark, tmp_work):
                       ddl_script=ddl, pk_change_frac=0.03)
     base, log_dir, table = _setup(spark, tmp_work, spec)
     stats = replay(spark, log_dir, table, batch_id="full")
-    assert stats.ddls == 4
+    # the ignorable CREATE INDEX must NOT split a merge range (3 real DDLs)
+    assert stats.ddls == 3 and stats.ranges == 4
     assert table.logical_columns() == ["doc_id", "tokens", "n_tok", "src"]
     _check(spark, table, base, log_dir)
 
@@ -154,7 +155,8 @@ def test_replay_with_full_alter_grammar(spark, tmp_work):
                       ddl_script=ddl, pk_change_frac=0.03)
     base, log_dir, table = _setup(spark, tmp_work, spec)
     stats = replay(spark, log_dir, table, batch_id="full")
-    assert stats.ddls == 6
+    # the shape-preserving ADD INDEX must NOT split a merge range
+    assert stats.ddls == 5 and stats.ranges == 6
     table.refresh()
     assert table.logical_columns() == ["doc_id", "tokens", "n_tok", "source",
                                        "quality"]
@@ -287,3 +289,86 @@ def test_group_replay_batch(spark, tmp_work):
     v = table.refresh().version
     group_replay(spark, dirs, table.refresh(), batch_id="g1")
     assert table.refresh().version == v
+
+
+# ---------------------------------------------------------------- rename
+# RENAME TABLE follow, end-to-end (DatabaseTableMeta keeps tracking the
+# renamed table, parse/.../tsdb/DatabaseTableMeta.java:161-181): DML
+# arriving under the NEW name keeps merging, the snapshot records the new
+# subscription for later resumes, and stale DML under the OLD name stops.
+
+RENAME_SQL = "RENAME TABLE train.tokseq TO train.tokseq_v2"
+
+
+def test_rename_table_follow_end_to_end(spark, tmp_work):
+    spec = CdcLogSpec(n_events=1800, seed=51, events_per_file=400,
+                      ddl_script=[(600, RENAME_SQL)], pk_change_frac=0.03,
+                      other_table_frac=0.05)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+
+    # the fixture really emits post-rename DML under the new name
+    from canal_spark.pipeline import read_event_log
+    names = {r["table_name"] for r in read_event_log(spark, log_dir)
+             .select("table_name").distinct().collect()}
+    assert "tokseq_v2" in names and "tokseq" in names
+
+    stats = replay(spark, log_dir, table, batch_id="full")
+    assert stats.ddls == 1 and stats.ranges == 2
+    _check(spark, table, base, log_dir)  # oracle follows the rename too
+    assert tuple(table.refresh().snap["subscribed"]) == ("train", "tokseq_v2")
+
+
+def test_rename_table_follow_resume(spark, tmp_work):
+    """Split replay across the rename: a FRESH LakeTable handle must resume
+    the renamed subscription from the snapshot, not reset to the default."""
+    import json
+
+    spec = CdcLogSpec(n_events=1800, seed=52, events_per_file=400,
+                      ddl_script=[(600, RENAME_SQL)], pk_change_frac=0.03)
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    files = json.load(open(os.path.join(log_dir, "log_manifest.json")))["files"]
+    assert len(files) >= 4
+    replay(spark, log_dir, table, files=files[:3], batch_id="p1")
+    assert tuple(table.refresh().snap["subscribed"]) == ("train", "tokseq_v2")
+
+    resumed = LakeTable(spark, table.path)  # fresh handle: snapshot only
+    replay(spark, log_dir, resumed, files=files[3:], batch_id="p2")
+    _check(spark, resumed.refresh(), base, log_dir)
+
+
+def test_stale_old_name_dml_ignored_after_rename(spark, tmp_work):
+    """A late event still using the pre-rename table name must NOT apply
+    (independent of the oracle, which shares the follow logic)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import _SegmentBuffer
+    from canal_spark.oracle import oracle_final_state
+
+    spec = CdcLogSpec(n_events=1200, seed=53, events_per_file=400,
+                      ddl_script=[(500, RENAME_SQL)])
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    expected, cols = oracle_final_state(base, log_dir)
+    victim = sorted(expected)[0]
+    vrow = expected[victim]
+
+    # craft a DELETE for the victim under the OLD name, LSN past the end
+    seg_files = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    max_gtid = max(int(pq.read_table(os.path.join(log_dir, f),
+                                     columns=["gtid_seq"])
+                       .column(0).to_numpy().max()) for f in seg_files)
+    pool = np.asarray(list(vrow["tokens"]) or [0], dtype=np.int32)
+    buf = _SegmentBuffer([c for c in cols if c not in
+                          ("doc_id", "tokens", "n_tok", "source")])
+    img = {"doc_id": victim, "source": vrow["source"],
+           "n_tok": vrow["n_tok"], "tok_lo": 0, "tok_hi": len(pool)}
+    buf.add("ROWDATA", "DELETE", max_gtid + 1, "mysql-bin.999999", 4,
+            1_800_000_000_000_000, "train", "tokseq", f"xid-{max_gtid+1}",
+            False, None, img, None)
+    buf.flush(os.path.join(log_dir, "mysql-bin.999999.parquet"), pool)
+
+    replay(spark, log_dir, table, batch_id="full")
+    actual = rows_to_state(table.refresh().read().collect(),
+                           table.logical_columns())
+    assert victim in actual  # the stale-name DELETE did not land
+    assert_state_equal(actual, expected, cols)
