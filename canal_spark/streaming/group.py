@@ -64,14 +64,21 @@ def merged_lsn_col(src: str = "src_id") -> F.Column:
     )
 
 
-def barrier_split(ev: DataFrame) -> tuple[DataFrame, DataFrame, object]:
-    """(released, tail, fence_ts): the transaction-barrier cut.
+def barrier_split(
+    ev: DataFrame, require_srcs: set | None = None,
+) -> tuple[DataFrame, DataFrame, object, set]:
+    """(released, tail, fence_ts, present_srcs): the transaction-barrier cut.
 
     ``ev``: envelope-filtered events WITH native per-source lsn and a
     ``src_id`` column, txn markers included. Released = complete txns whose
     END falls at-or-before the fence (min cut over sources with data).
     Driver work is ONE collect of N source rows (each carrying its END
     markers — txn-count-sized, not event-sized) — no data moves.
+
+    ``require_srcs``: liveness condition for live tailing — if any of these
+    source ids contributed NO rows to this batch, hold everything (a
+    lagging producer must not be overtaken by the fence; the caller bounds
+    how long an absent source is required, Canal-heartbeat-timeout style).
     """
     # ONE aggregation job computes everything driver-side logic needs:
     # per source its cut (max END ts), presence (the groupBy row itself),
@@ -85,11 +92,15 @@ def barrier_split(ev: DataFrame) -> tuple[DataFrame, DataFrame, object]:
         # collect_list drops the NULLs of non-END rows
         F.collect_list(F.when(end, F.struct("execute_ts", "lsn"))).alias("ends"),
     ).collect()
+    present = {r["src_id"] for r in per_src}
+    if require_srcs and not set(require_srcs) <= present:
+        # a required (live, lagging) source is absent: hold everything
+        return ev.limit(0), ev, None, present
     if not per_src:
-        return ev.limit(0), ev, None
+        return ev.limit(0), ev, None, present
     if any(r["cut_ts"] is None for r in per_src):
         # a source has rows but no complete txn yet: hold everything
-        return ev.limit(0), ev, None
+        return ev.limit(0), ev, None, present
     fence = min(r["cut_ts"] for r in per_src)
     rel = {}
     for r in per_src:
@@ -102,7 +113,7 @@ def barrier_split(ev: DataFrame) -> tuple[DataFrame, DataFrame, object]:
     keep = F.col("lsn") <= rel_map[F.col("src_id")]
     released = ev.where(F.coalesce(keep, F.lit(False)))
     tail = ev.where(~F.coalesce(keep, F.lit(False)))
-    return released, tail, fence
+    return released, tail, fence, present
 
 
 class GroupStreamingReplay:
@@ -121,6 +132,7 @@ class GroupStreamingReplay:
         maintenance_every: int | None = None,
         max_files_per_bucket: int = 8,
         snapshots_keep: int = 4,
+        hold_missing_sources: int = 0,
     ):
         self.spark = spark
         self.log_dirs = list(log_dirs)
@@ -134,6 +146,14 @@ class GroupStreamingReplay:
         self.max_files_per_bucket = max_files_per_bucket
         self.snapshots_keep = snapshots_keep
         self._data_epochs = 0
+        # liveness (ADVICE r02): with K>0, a non-empty source that goes
+        # silent holds the barrier fence for up to K consecutive batches
+        # before being treated as idle — a lagging live producer is not
+        # overtaken mid-stream, and a genuinely drained source cannot
+        # deadlock the stream (bounded hold; per-key LSN fences still
+        # guarantee the final state either way). 0 = drained-replay mode.
+        self.hold_missing_sources = hold_missing_sources
+        self._missing_streak: dict[int, int] = {}
         self.tail_state = TxnTailState(
             spark, os.path.join(self.checkpoint_dir, "txn_tail"))
         self.metrics = MetricsLog(
@@ -162,7 +182,19 @@ class GroupStreamingReplay:
         ev = self.tail_state.attach(ev)
         ev = ev.persist()
         try:
-            released, tail, fence = barrier_split(ev)
+            require = None
+            if self.hold_missing_sources:
+                require = {
+                    i for i, d in enumerate(self.log_dirs)
+                    if self._missing_streak.get(i, 0) < self.hold_missing_sources
+                    and any(f.endswith(".parquet") for f in os.listdir(d))
+                }
+            released, tail, fence, present = barrier_split(ev, require)
+            if self.hold_missing_sources:
+                for i in range(len(self.log_dirs)):
+                    self._missing_streak[i] = (
+                        0 if i in present
+                        else self._missing_streak.get(i, 0) + 1)
             released = released.withColumn("lsn", merged_lsn_col())
             n_rows = released.where(F.col("entry_type") == "ROWDATA").count()
             lineage = batch_lineage(

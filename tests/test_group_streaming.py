@@ -5,6 +5,7 @@ the merged-timeline sequential oracle."""
 import os
 
 import pyarrow as pa
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_spark.fixtures import CdcLogSpec, generate_base_table, generate_cdc_log
@@ -112,3 +113,43 @@ def test_group_streaming_kill_and_resume(spark, tmp_work):
     gr2.run_to_completion()
     gr2.flush_tail()
     _check(table.refresh(), bases, typed)
+
+
+def test_barrier_holds_for_required_missing_source(spark):
+    """Liveness condition (ADVICE r02): a required source absent from the
+    batch holds the whole fence; dropping the requirement releases."""
+    from canal_spark.streaming.group import barrier_split
+
+    rows = [
+        ("TRANSACTIONBEGIN", 0, "2026-01-01 00:00:00.000001", "a1"),
+        ("ROWDATA",          0, "2026-01-01 00:00:00.000002", "a2"),
+        ("TRANSACTIONEND",   0, "2026-01-01 00:00:00.000003", "a3"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, s, t, l) for e, s, t, l in rows],
+        "entry_type string, src_id int, execute_ts string, lsn string",
+    ).withColumn("execute_ts", F.col("execute_ts").cast("timestamp"))
+
+    # src 1 is required but silent → hold everything
+    released, tail, fence, present = barrier_split(ev, require_srcs={0, 1})
+    assert fence is None and released.count() == 0 and tail.count() == 3
+    assert present == {0}
+
+    # not required (drained / past its bounded hold) → normal min-cut
+    released, tail, fence, present = barrier_split(ev, require_srcs={0})
+    assert fence is not None and released.count() == 3 and tail.count() == 0
+
+
+def test_group_streaming_liveness_hold_then_idle(spark, tmp_work):
+    """With hold_missing_sources=K, a silent-but-nonempty source holds the
+    fence for K epochs, after which the stream proceeds; the final state
+    still equals the merged-timeline oracle (drained-replay semantics)."""
+    bases, typed_dirs, wire_dirs, table = _setup_shards(
+        spark, tmp_work, events_per_shard=[900, 900], seed=71)
+    ck = os.path.join(tmp_work, "ck")
+    gs = GroupStreamingReplay(
+        spark, wire_dirs, table, checkpoint_dir=ck,
+        max_files_per_trigger=1, hold_missing_sources=2)
+    gs.run_to_completion()
+    gs.flush_tail()
+    _check(table.refresh(), bases, typed_dirs)
