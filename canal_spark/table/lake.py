@@ -52,10 +52,12 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
-def _key_stats(path: str, key_col: str) -> list[str] | None:
-    """[min, max] of ``key_col`` from the parquet footer (no data read) —
-    the manifest-level per-file stats Iceberg keeps in its manifests
-    (lower_bounds/upper_bounds) that make MERGE prune at FILE granularity."""
+def _key_stats(path: str, key_col: str) -> list | None:
+    """[min, max, num_rows] of ``key_col`` from the parquet footer (no data
+    read) — the manifest-level per-file stats Iceberg keeps in its manifests
+    (lower_bounds/upper_bounds + record_count) that make MERGE prune at FILE
+    granularity and let the auto merge-mode estimate rewrite amplification
+    without touching data."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -73,7 +75,7 @@ def _key_stats(path: str, key_col: str) -> list[str] | None:
             return None
         mins.append(st.min)
         maxs.append(st.max)
-    return [min(mins), max(maxs)]
+    return [min(mins), max(maxs), md.num_rows]
 
 
 class LakeTable:
@@ -91,7 +93,9 @@ class LakeTable:
     def create(cls, spark: SparkSession, path: str, schema: T.StructType,
                key_col: str = "doc_id", n_buckets: int = 16,
                df: DataFrame | None = None,
-               max_records_per_file: int = 1_000_000) -> "LakeTable":
+               max_records_per_file: int = 1_000_000,
+               merge_mode: str = "cow",
+               mor_amplification_limit: int = 16) -> "LakeTable":
         """Create the table; optionally seed it with an initial full load
         (the reference's ETL import, client-adapter/rdb/.../RdbEtlService.java:30-60)."""
         path = os.path.abspath(path)
@@ -113,6 +117,18 @@ class LakeTable:
             # defeats file-level MERGE pruning forever after. Size it to the
             # target file bytes on a real cluster (~128 MB / avg row size).
             "max_records_per_file": max_records_per_file,
+            # MERGE strategy (Iceberg write.merge.mode analog):
+            #   "cow"  — copy-on-write: rewrite intersecting files (file-
+            #            level pruned); best for temporally-local batches.
+            #   "mor"  — merge-on-read: append the collapsed batch as delta
+            #            files, fold by max LSN at read; O(batch) commit.
+            #   "auto" — per-batch: CoW unless footer-stats rewrite rows
+            #            exceed mor_amplification_limit × batch rows (the
+            #            spread-key shape where pruning degrades toward a
+            #            full bucket rewrite).
+            "merge_mode": merge_mode,
+            "mor_amplification_limit": mor_amplification_limit,
+            "deltas": {},             # bucket(str) -> [delta file names]
             "applied_batches": [],
             "watermark_lsn": "",
             "parent": None,
@@ -199,7 +215,10 @@ class LakeTable:
 
     # --------------------------------------------------------------- reads
     def _all_files(self, snap: dict) -> list[str]:
-        return [f for fl in snap["files"].values() for f in fl]
+        """Every data file a snapshot references — base AND delta files
+        (expire_snapshots must never garbage-collect a live delta)."""
+        return [f for fl in snap["files"].values() for f in fl] + [
+            f for fl in snap.get("deltas", {}).values() for f in fl]
 
     def read_raw(self, buckets: list[int] | None = None,
                  version: int | None = None,
@@ -209,11 +228,41 @@ class LakeTable:
         MERGE file-pruning path)."""
         snap = self.snap if version is None else self.load_version(version)
         if file_names is not None:
-            names = list(file_names)
-        elif buckets is None:
-            names = self._all_files(snap)
-        else:
-            names = [f for b in buckets for f in snap["files"].get(str(b), [])]
+            # explicit file list = the MERGE CoW pruning path: base files
+            # only, NO delta fold. Safe because LWW-by-LSN is associative:
+            # rewriting a base file against a possibly-stale base row keeps
+            # the read-time max-LSN fold correct wherever the true winner
+            # lives (base or delta).
+            return self._read_files(snap, list(file_names))
+        want = (list(range(snap["n_buckets"]))
+                if buckets is None else [int(b) for b in buckets])
+        deltas = snap.get("deltas", {})
+        hot = [b for b in want if deltas.get(str(b))]
+        cold = [b for b in want if not deltas.get(str(b))]
+        cold_df = self._read_files(
+            snap, [f for b in cold for f in snap["files"].get(str(b), [])])
+        if not hot:
+            return cold_df
+        # Merge-on-read fold, restricted to buckets that actually carry
+        # deltas: base ∪ delta rows of those buckets, one winner per key by
+        # max _source_lsn (LSNs are unique per event, so ties only occur
+        # between byte-identical duplicate deliveries). Buckets without
+        # deltas stream through untouched — zero read tax once compaction
+        # has folded a bucket.
+        hot_names = [f for b in hot for f in snap["files"].get(str(b), [])] \
+            + [f for b in hot for f in deltas.get(str(b), [])]
+        hot_df = self._read_files(snap, hot_names)
+        key = snap["key_col"]
+        others = [c for c in hot_df.columns if c != key]
+        folded = (
+            hot_df.groupBy(key)
+            .agg(F.max_by(F.struct(*others), F.col("_source_lsn")).alias("_w"))
+            .select(key, *[F.col(f"_w.{c}").alias(c) for c in others])
+            .select(*hot_df.columns)
+        )
+        return cold_df.unionByName(folded)
+
+    def _read_files(self, snap: dict, names: list[str]) -> DataFrame:
         phys = self._physical_schema(snap)
         if not names:
             return self.spark.createDataFrame([], phys).select(
@@ -250,11 +299,13 @@ class LakeTable:
 
     # -------------------------------------------------------------- writes
     def _write_data(
-        self, df: DataFrame, version: int,
-    ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+        self, df: DataFrame, version: int, prefix: str = "b",
+    ) -> tuple[dict[str, list[str]], dict[str, list]]:
         """Write df (physical names + sys cols + _b) bucket-partitioned;
         move files into data/ and return (bucket -> new file names,
-        file name -> [min_key, max_key] footer stats)."""
+        file name -> [min_key, max_key, rows] footer stats). ``prefix``
+        distinguishes base data files ("b") from merge-on-read delta
+        files ("d") in the data directory listing."""
         staging = os.path.join(self.path, f"_staging-v{version:06d}-{uuid.uuid4().hex[:8]}")
         key_phys = self._phys(self.key_col)
         sort_cols = ["_b"] + ([key_phys] if key_phys in df.columns else [])
@@ -279,7 +330,7 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(staging, entry))):
                 if not fn.endswith(".parquet"):
                     continue
-                new = f"b{int(b):05d}-v{version:06d}-{seq:04d}-{uuid.uuid4().hex[:8]}.parquet"
+                new = f"{prefix}{int(b):05d}-v{version:06d}-{seq:04d}-{uuid.uuid4().hex[:8]}.parquet"
                 dst = os.path.join(self.data_dir, new)
                 os.replace(os.path.join(staging, entry, fn), dst)
                 out.setdefault(b, []).append(new)
@@ -310,7 +361,7 @@ class LakeTable:
         files, stats = self._write_data(pdf, version)
         snap = dict(self.snap)
         snap.update(version=version, files=files, file_stats=stats,
-                    parent=self.snap["version"])
+                    deltas={}, parent=self.snap["version"])
         if batch_id is not None:
             snap["applied_batches"] = _ledger_add(snap["applied_batches"], batch_id)
         self._write_snapshot(snap)
@@ -326,7 +377,7 @@ class LakeTable:
         return batch_id in self.snap["applied_batches"]
 
     def merge_apply(self, changes: DataFrame, batch_id: str | None = None,
-                    max_lsn: str | None = None) -> dict:
+                    max_lsn: str | None = None, mode: str | None = None) -> dict:
         """Apply net-effect changes: the Iceberg ``MERGE INTO`` equivalent.
 
         ``changes`` columns: key + logical data columns + ``op`` ('U' upsert
@@ -408,6 +459,10 @@ class LakeTable:
                                    st[0] if st else None,
                                    st[1] if st else None))
             bucket_files = len(ranges)
+            mode = mode or self.snap.get("merge_mode", "cow")
+            if mode == "mor":
+                return self._delta_commit(chg, batch_id, max_lsn, bstats,
+                                          touched, n_up, n_del, bucket_files)
             if ranges:
                 rdf = self.spark.createDataFrame(
                     ranges, "b int, f string, lo string, hi string")
@@ -421,6 +476,21 @@ class LakeTable:
                 )
             else:
                 touched_files = []
+
+            if mode == "auto" and touched_files:
+                # rewrite amplification from manifest stats alone: rows the
+                # CoW branch would read+rewrite vs rows in the batch. Above
+                # the limit (spread keys hitting most file ranges) an
+                # O(batch) delta commit beats rewriting the data many times
+                # over; compaction folds the deltas back later.
+                sizes = [fstats.get(f) for f in touched_files]
+                if all(s and len(s) > 2 for s in sizes):
+                    rewrite_rows = sum(s[2] for s in sizes)
+                    limit = self.snap.get("mor_amplification_limit", 16)
+                    if rewrite_rows > limit * (n_up + n_del):
+                        return self._delta_commit(
+                            chg, batch_id, max_lsn, bstats, touched,
+                            n_up, n_del, bucket_files)
 
             tgt = self.read_raw(file_names=touched_files).drop("_b")
             # One scan, one join: full-outer MERGE with an LSN fence —
@@ -480,12 +550,62 @@ class LakeTable:
             if wm:
                 snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), wm)
             self._write_snapshot(snap)
-            return {"skipped": False, "version": version,
+            return {"skipped": False, "version": version, "mode": "cow",
                     "buckets": len(touched), "upserts": n_up, "deletes": n_del,
                     "files_read": len(touched_files),
                     "files_carried": bucket_files - len(touched_files)}
         finally:
             changes.unpersist()
+
+    def _delta_commit(self, chg: DataFrame, batch_id: str | None,
+                      max_lsn: str | None, bstats: list, touched: list[int],
+                      n_up: int, n_del: int, bucket_files: int) -> dict:
+        """Merge-on-read commit: land the LWW-collapsed batch as per-bucket
+        delta files — no target read, no join, commit cost O(batch) —
+        matching the reference's batch-proportional apply (client-adapter/
+        rdb/.../support/BatchExecutor.java). The per-key winner is resolved
+        at read time by the max-LSN fold in ``read_raw`` (Iceberg v2
+        merge-on-read with equality deletes, generalized to upserts);
+        ``compact`` folds deltas back into base files, restoring the
+        zero-tax scan. The CoW LSN fence is preserved by construction:
+        a delta row older than the stored row simply loses the fold."""
+        key = self.key_col
+        data_cols = self.logical_columns()
+        ckey = F.col(f"_c_{key}")
+        is_del = F.col("_c_op") == "D"
+        phys = {c["name"]: c["physical"] for c in self.snap["columns"]}
+        out_p = chg.select(
+            *[
+                (ckey if c == key
+                 else F.when(~is_del, F.col(f"_c_{c}"))).alias(phys[c])
+                for c in data_cols
+            ],
+            F.col("_c_lsn").alias("_source_lsn"),
+            is_del.alias("_deleted"),
+            F.col("_b"),
+        )
+        version = self.snap["version"] + 1
+        new_files, new_stats = self._write_data(out_p, version, prefix="d")
+        deltas = {b: list(fl) for b, fl in self.snap.get("deltas", {}).items()}
+        for b, fl in new_files.items():
+            deltas[b] = deltas.get(b, []) + fl
+        file_stats = dict(self.snap.get("file_stats", {}))
+        file_stats.update(new_stats)
+        snap = dict(self.snap)
+        snap.update(version=version, deltas=deltas, file_stats=file_stats,
+                    parent=self.snap["version"])
+        if batch_id is not None:
+            snap["applied_batches"] = _ledger_add(
+                snap["applied_batches"], batch_id)
+        obs_lsn = max((r["mx"] for r in bstats if r["mx"]), default=None)
+        wm = max(filter(None, [max_lsn, obs_lsn]), default=None)
+        if wm:
+            snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), wm)
+        self._write_snapshot(snap)
+        return {"skipped": False, "version": version, "mode": "mor",
+                "buckets": len(touched), "upserts": n_up, "deletes": n_del,
+                "files_read": 0, "files_carried": bucket_files,
+                "delta_files": sum(len(fl) for fl in new_files.values())}
 
     # ----------------------------------------------------------------- DDL
     def _commit_meta(self, **updates) -> None:
@@ -550,19 +670,20 @@ class LakeTable:
         client-adapter/rdb/.../RdbSyncService.java:392-400). Recording the
         TRUNCATE's LSN fences any late/duplicate pre-truncate DML from
         resurrecting wiped rows."""
-        updates: dict = {"files": {}, "file_stats": {}}
+        updates: dict = {"files": {}, "file_stats": {}, "deltas": {}}
         if lsn is not None:
             updates["truncate_lsn"] = max(self.snap.get("truncate_lsn", ""), lsn)
         self._commit_meta(**updates)
 
     # ------------------------------------------------------- maintenance
     def compact(self, buckets: list[int] | None = None) -> None:
-        """Rewrite buckets dropping tombstones (snapshot-expire analog).
-        Only safe once no replays can deliver events older than the
-        tombstone LSNs (i.e. past the checkpointed watermark)."""
+        """Rewrite buckets dropping tombstones and folding merge-on-read
+        deltas back into base files (snapshot-expire analog). Only safe once
+        no replays can deliver events older than the tombstone LSNs (i.e.
+        past the checkpointed watermark)."""
         buckets = buckets if buckets is not None else list(range(self.n_buckets))
         live = (
-            self.read_raw(buckets=buckets)
+            self.read_raw(buckets=buckets)  # delta-folded: one winner/key
             .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
             .withColumn("_b", bucket_expr(self.key_col, self.n_buckets))
         )
@@ -571,13 +692,16 @@ class LakeTable:
         version = self.snap["version"] + 1
         new_files, new_stats = self._write_data(out, version)
         files = dict(self.snap["files"])
+        deltas = dict(self.snap.get("deltas", {}))
         file_stats = dict(self.snap.get("file_stats", {}))
         for b in buckets:
-            for f in files.get(str(b), []):
+            for f in files.get(str(b), []) + deltas.get(str(b), []):
                 file_stats.pop(f, None)
             files[str(b)] = new_files.get(str(b), [])
+            deltas.pop(str(b), None)
         file_stats.update(new_stats)
-        self._commit_meta(files=files, file_stats=file_stats, version=version)
+        self._commit_meta(files=files, deltas=deltas, file_stats=file_stats,
+                          version=version)
 
     def maintain(self, max_files_per_bucket: int = 8,
                  snapshots_keep: int = 4) -> dict:
@@ -603,8 +727,15 @@ class LakeTable:
         self.refresh()
         if not self.snap.get("watermark_lsn"):
             return {"skipped": True, "compacted_buckets": [], "files_removed": 0}
-        frag = sorted(int(b) for b, fs in self.snap["files"].items()
-                      if len(fs) > max_files_per_bucket)
+        deltas = self.snap.get("deltas", {})
+        frag = sorted(
+            {int(b) for b, fs in self.snap["files"].items()
+             if len(fs) > max_files_per_bucket}
+            # merge-on-read delta chains: fold a bucket back to plain base
+            # files once its chain passes half the file cap (each delta in
+            # the chain is an extra file in every read fold of that bucket)
+            | {int(b) for b, fs in deltas.items()
+               if len(fs) > max(1, max_files_per_bucket // 2)})
         if frag:
             self.compact(buckets=frag)
         removed = self.expire_snapshots(keep_last=snapshots_keep)

@@ -93,7 +93,7 @@ def test_file_carry_forward_within_bucket(spark, tmp_work):
     t = LakeTable.create(spark, os.path.join(tmp_work, "t1"), SCHEMA,
                          n_buckets=1, df=df)
     [f0] = t.snap["files"]["0"]
-    assert t.snap["file_stats"][f0] == ["a", "c"]
+    assert t.snap["file_stats"][f0][:2] == ["a", "c"]
 
     # insert-only batch with keys beyond every file range: nothing is read,
     # the new keys land in a NEW file, f0 carries forward by reference
@@ -103,7 +103,7 @@ def test_file_carry_forward_within_bucket(spark, tmp_work):
     assert res["files_read"] == 0 and res["files_carried"] == 1
     assert f0 in t.snap["files"]["0"] and len(t.snap["files"]["0"]) == 2
     f1 = next(f for f in t.snap["files"]["0"] if f != f0)
-    assert t.snap["file_stats"][f1] == ["x", "z"]
+    assert t.snap["file_stats"][f1][:2] == ["x", "z"]
 
     # update hitting only f0's range: f1 carries forward, f0 is replaced
     upd = _chg(spark, [("b", [9], 1, "web", "U", "lsn-2")])
@@ -118,7 +118,7 @@ def test_file_carry_forward_within_bucket(spark, tmp_work):
     t.compact()
     assert len(t.snap["files"]["0"]) == 1
     [fc] = t.snap["files"]["0"]
-    assert t.snap["file_stats"][fc] == ["a", "z"]
+    assert t.snap["file_stats"][fc][:2] == ["a", "z"]
     assert set(t.snap["file_stats"]) == {fc}
 
 

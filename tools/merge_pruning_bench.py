@@ -50,16 +50,18 @@ def table_bytes(table) -> int:
 
 
 def snap_files(table) -> set[str]:
-    return {f for fs in table.snap["files"].values() for f in fs}
+    """Every live data file — base AND merge-on-read deltas."""
+    return {f for fs in table.snap["files"].values() for f in fs} | {
+        f for fs in table.snap.get("deltas", {}).values() for f in fs}
 
 
-def run_one(spark, n_docs: int, shape: str) -> dict:
+def run_one(spark, n_docs: int, shape: str, merge_mode: str = "cow") -> dict:
     from canal_spark.fixtures import CdcLogSpec, generate_base_table, generate_cdc_log
     from canal_spark.pipeline import replay
     from canal_spark.table.lake import LakeTable
     from pyspark.sql import types as T
 
-    work = os.path.join(_REPO, ".work", f"prune_{n_docs}_{shape}")
+    work = os.path.join(_REPO, ".work", f"prune_{n_docs}_{shape}_{merge_mode}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
 
@@ -75,7 +77,8 @@ def run_one(spark, n_docs: int, shape: str) -> dict:
     pq.write_table(base, base_pq)
     tbl = LakeTable.create(
         spark, os.path.join(work, "tokseq"), schema, n_buckets=N_BUCKETS,
-        df=spark.read.parquet(base_pq), max_records_per_file=ROLL)
+        df=spark.read.parquet(base_pq), max_records_per_file=ROLL,
+        merge_mode=merge_mode)
 
     # tail batch over a key slice: newest 1% (recent) or a uniform sample
     # over the whole keyspace (spread). Inserts ascend past every existing id.
@@ -102,13 +105,15 @@ def run_one(spark, n_docs: int, shape: str) -> dict:
     rewritten = sum(os.path.getsize(os.path.join(tbl.data_dir, f))
                     for f in new_files)
     m = stats.merges[0]
-    return {
-        "docs": n_docs, "shape": shape, "table_mb": before_bytes // 2**20,
-        "batch_events": BATCH_EVENTS,
+    out = {
+        "docs": n_docs, "shape": shape, "mode": m.get("mode", "cow"),
+        "table_mb": before_bytes // 2**20, "batch_events": BATCH_EVENTS,
         "files_read": m["files_read"], "files_carried": m["files_carried"],
         "rewritten_mb": round(rewritten / 2**20, 1),
         "merge_sec": round(secs, 1),
     }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -118,17 +123,20 @@ def main() -> None:
     from canal_spark.session import get_spark
     spark = get_spark("merge_pruning_bench")
     rows = []
-    for shape in ("recent", "spread"):
+    # recent = steady-state CDC tail (CoW's home turf; auto must pick cow);
+    # spread = adversarial uniform keys (auto must escape to a mor delta).
+    for shape, mode in (("recent", "cow"), ("spread", "cow"),
+                        ("recent", "auto"), ("spread", "auto")):
         for n in (small, small * factor):
-            r = run_one(spark, n, shape)
+            r = run_one(spark, n, shape, merge_mode=mode)
             rows.append(r)
             print(json.dumps(r), flush=True)
-    print("\n| docs | shape | table MB | files read | files carried | "
-          "rewritten MB | merge s |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| docs | shape | mode | table MB | files read | files carried "
+          "| rewritten MB | merge s |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['docs']:,} | {r['shape']} | {r['table_mb']} | "
-              f"{r['files_read']} | {r['files_carried']} | "
+        print(f"| {r['docs']:,} | {r['shape']} | {r['mode']} | "
+              f"{r['table_mb']} | {r['files_read']} | {r['files_carried']} | "
               f"{r['rewritten_mb']} | {r['merge_sec']} |")
 
 
