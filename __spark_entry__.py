@@ -108,7 +108,7 @@ def _group_shard_fixture(work: str):
 
 
 def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
-                n_events: int, seed: int) -> DataFrame:
+                n_events: int, seed: int, merge_mode: str = "cow") -> DataFrame:
     """Tokenize DISTRIBUTED (mapInArrow over the documents scan), land the
     base table as parquet, and seed the LakeTable with a plain schema'd
     parquet read — the driver JVM never materializes a row. Round 1 went
@@ -136,7 +136,7 @@ def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
     base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
     table = LakeTable.create(spark, os.path.join(work, "tokseq"),
                              BASE_SCHEMA, key_col="doc_id", n_buckets=8,
-                             df=base_df)
+                             df=base_df, merge_mode=merge_mode)
     replay(spark, log_dir, table.refresh())
     return _canonical_state(table.refresh().read())
 
@@ -332,6 +332,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     is asserted by tests/; the driver records a rows-only check here)
     q["cdc_replay_state"] = lambda s, d: _run_replay(
         s, d, "q_replay", n_events=2000, seed=7)
+    # same deterministic log forced through the merge-on-read commit path:
+    # every batch lands as delta files and the returned state is produced
+    # by the read-time max-LSN fold (never compacted here) — the driver
+    # value-checks the MoR read path against the same sequential oracle
+    q["cdc_replay_state_mor"] = lambda s, d: _run_replay(
+        s, d, "q_replay_mor", n_events=2000, seed=7, merge_mode="mor")
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
     return q
@@ -550,6 +556,9 @@ def oracle_sql() -> dict[str, str]:
     # rows-only check rather than erroring every query.
     try:
         o["cdc_replay_state"] = _replay_state_oracle_sql()
+        # identical spec/seed/base → identical expected state; only the
+        # engine's commit path differs (CoW rewrite vs delta fold)
+        o["cdc_replay_state_mor"] = o["cdc_replay_state"]
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
     except Exception:
