@@ -54,6 +54,19 @@ def scale_segment(t: pa.Table, prefix: str) -> pa.Table:
         else:
             new = _prefix_struct_docid(col, prefix)
         t = t.set_column(idx, t.schema.field(idx), new)
+    # the native pk envelope columns (FlatMessage pkNames analog) are
+    # AUTHORITATIVE for the collapse key — they must shard with the
+    # payload, or every replica folds back onto replica 0's key space
+    # and the scaled fixture silently measures a 1/R-sized workload
+    for name in ("pk_before", "pk_after"):
+        if name not in t.schema.names:
+            continue
+        idx = t.schema.get_field_index(name)
+        col = t.column(idx)
+        new = pc.binary_join_element_wise(
+            pa.scalar(prefix, pa.string()), col, "",
+            null_handling="emit_null")
+        t = t.set_column(idx, t.schema.field(idx), new)
     return t
 
 
