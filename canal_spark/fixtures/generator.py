@@ -68,6 +68,7 @@ class CdcLogSpec:
     # running ROWDATA count crosses event_index.
     gtid_offset: int = 0              # continue an earlier log's LSN
     file_no_offset: int = 0           # timeline (tail-log fixtures)
+    table: tuple[str, str] = ("train", "tokseq")  # subscribed source table
 
 
 def generate_base_table(n_docs: int, seed: int = 42,
@@ -270,7 +271,7 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
     renames: dict[str, str] = {}
     # the emitted table name follows RENAME TABLE (rename-follow end-to-end:
     # post-rename DML arrives under the NEW name, as MySQL would write it)
-    cur_name = ["train", "tokseq"]
+    cur_name = list(spec.table)
     ddl_iter = iter(sorted(spec.ddl_script))
     next_ddl = next(ddl_iter, None)
 

@@ -24,18 +24,21 @@ BASE_COLS = ["doc_id", "tokens", "n_tok", "source"]
 
 
 def apply_events_py(base_rows: dict[str, dict], events: list[dict],
-                    columns: list[str] | None = None) -> tuple[dict[str, dict], list[str]]:
+                    columns: list[str] | None = None,
+                    subscribed: tuple[str, str] = SUBSCRIBED,
+                    ) -> tuple[dict[str, dict], list[str]]:
     """Fold events (already in LSN order) over {doc_id: row} state.
 
     Returns (final_state, final_columns). Rows are plain dicts; tokens are
-    tuples for cheap equality.
+    tuples for cheap equality. ``subscribed`` selects which source table's
+    events apply (multi-table logs: one fold per subscription).
     """
     state = dict(base_rows)
     cols = list(columns or BASE_COLS)
     # the subscription follows RENAME TABLE (rename-follow, like the
     # engine's SchemaTracker): DML under the new name keeps applying, DML
     # under the stale old name stops
-    sub = SUBSCRIBED
+    sub = tuple(subscribed)
     for ev in events:
         if ev["entry_type"] != "ROWDATA":
             continue
@@ -132,6 +135,26 @@ def oracle_final_state(base: pa.Table | None, log_dir: str) -> tuple[dict[str, d
             row["tokens"] = tuple(row["tokens"])
             base_rows[row["doc_id"]] = row
     return apply_events_py(base_rows, read_log_events(log_dir))
+
+
+def oracle_mirror_final_state(
+    bases: dict[str, pa.Table | None], log_dir: str,
+) -> dict[str, tuple[dict[str, dict], list[str]]]:
+    """Multi-table oracle (RdbMirrorDbSyncService analog): one independent
+    sequential fold per subscription over the SAME event log. Keys are
+    'schema.table' source names; each fold only applies its own table's
+    DML/DDL (incl. per-subscription RENAME follow)."""
+    events = read_log_events(log_dir)
+    out: dict[str, tuple[dict[str, dict], list[str]]] = {}
+    for name, base in bases.items():
+        base_rows: dict[str, dict] = {}
+        if base is not None:
+            for row in base.to_pylist():
+                row["tokens"] = tuple(row["tokens"])
+                base_rows[row["doc_id"]] = row
+        out[name] = apply_events_py(
+            base_rows, events, subscribed=tuple(name.split(".", 1)))
+    return out
 
 
 def oracle_group_final_state(

@@ -95,9 +95,15 @@ class LakeTable:
                df: DataFrame | None = None,
                max_records_per_file: int = 1_000_000,
                merge_mode: str = "cow",
-               mor_amplification_limit: int = 16) -> "LakeTable":
+               mor_amplification_limit: int = 16,
+               subscribe: tuple[str, str] | None = None) -> "LakeTable":
         """Create the table; optionally seed it with an initial full load
-        (the reference's ETL import, client-adapter/rdb/.../RdbEtlService.java:30-60)."""
+        (the reference's ETL import, client-adapter/rdb/.../RdbEtlService.java:30-60).
+
+        ``subscribe``: the (schema, table) source this sink mirrors —
+        persisted so every SchemaTracker built over the table resumes the
+        right subscription (multi-table mirror routing and RENAME follow).
+        None keeps the tracker's default subscription."""
         path = os.path.abspath(path)
         os.makedirs(os.path.join(path, "metadata"), exist_ok=False)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -133,6 +139,8 @@ class LakeTable:
             "watermark_lsn": "",
             "parent": None,
         }
+        if subscribe is not None:
+            snap["subscribed"] = list(subscribe)
         tbl = object.__new__(cls)
         tbl.spark, tbl.path = spark, path
         tbl.meta_dir = os.path.join(path, "metadata")
