@@ -260,6 +260,71 @@ def _run_group_replay(spark: SparkSession) -> DataFrame:
     return _canonical_state(table.refresh().read())
 
 
+def _run_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-database mirror (RdbMirrorDbSyncService analog, SURVEY §2
+    rows 4/36): one deterministic binlog carrying TWO source tables fans
+    into one LakeTable sink per table — train.other_tbl is created on
+    first sight with a schema inferred from the typed after-image
+    (excluding this log's DDL-born columns). Returns the union of every
+    sink's canonical final state tagged with its catalog name."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.mirror import LakeDatabase, mirror_replay
+
+    work = os.path.join(_WORK, "q_mirror")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=2000, seed=13), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    db = LakeDatabase(spark, os.path.join(work, "lakedb"))
+    db.create("train.tokseq", BASE_SCHEMA, key_col="doc_id", n_buckets=8,
+              df=base_df)
+    mirror_replay(spark, log_dir, db, batch_id="m1")
+    out = None
+    for name in db.names():
+        part = _canonical_state(db.get(name).refresh().read()).withColumn(
+            "table_name", F.lit(name))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True)
+    return out
+
+
+def _mirror_state_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_mirror_state``: the per-subscription python
+    oracle folds the identical log once per table; the union of expected
+    states (missing columns NULL) lands in one parquet."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_mirror_final_state
+
+    work = os.path.join(_WORK, "oracle_mirror_state")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=2000, seed=13), base=base)
+    expected = oracle_mirror_final_state(
+        {"train.tokseq": base, "train.other_tbl": None}, log_dir)
+    combined: dict = {}
+    cols: list[str] = []
+    for name in sorted(expected):
+        state, tcols = expected[name]
+        cols += [c for c in tcols if c not in cols]
+        for k, row in state.items():
+            combined[f"{name}|{k}"] = {**row, "table_name": name}
+    p = _write_expected_state(os.path.join(work, "expected.parquet"),
+                              combined, cols + ["table_name"])
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC replay of the synthetic binlog over the tokenized
     sf0.001 documents base table; returns the final sink state."""
@@ -340,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "q_replay_mor", n_events=2000, seed=7, merge_mode="mor")
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
+    q["cdc_mirror_state"] = _run_mirror
     return q
 
 
@@ -561,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_replay_state_mor"] = o["cdc_replay_state"]
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
+        o["cdc_mirror_state"] = _mirror_state_oracle_sql()
     except Exception:
         pass
     return o
