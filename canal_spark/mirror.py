@@ -124,32 +124,30 @@ def _infer_schema(events: DataFrame, sub: tuple[str, str],
                          if f.name == key_col or f.name not in exclude])
 
 
-def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
-                  table_regex: str = r"^train\.[\w$]+$",
-                  batch_id: str | None = None,
-                  key_col: str = "doc_id",
-                  n_buckets: int = 16,
-                  schema_factory: Callable[[str], T.StructType] | None = None,
-                  wire: bool = False,
-                  salt_partitions: int | None = None,
-                  merge_mode: str = "cow",
-                  files: list[str] | None = None,
-                  ) -> dict[str, ReplayStats]:
-    """Replay one log into one LakeTable per source table under the
-    subscription regex. Returns {catalog name: ReplayStats}.
+def mirror_apply(ev: DataFrame, db: LakeDatabase,
+                 batch_id: str | None = None,
+                 key_col: str = "doc_id",
+                 n_buckets: int = 16,
+                 schema_factory: Callable[[str], T.StructType] | None = None,
+                 wire: bool = False,
+                 salt_partitions: int | None = None,
+                 merge_mode: str = "cow",
+                 ) -> dict[str, ReplayStats]:
+    """Fan one prepared event batch into one LakeTable per source table.
+    Returns {catalog name: ReplayStats}. ``ev`` is envelope-filtered
+    output of prepare_events/prepare_envelope (txn markers tolerated).
 
     Sinks are created on first sight of a table (CREATE TABLE DDL decode is
     out of scope — the schema comes from the typed after-image or
     ``schema_factory(name)``), EXCEPT names reachable by RENAME TABLE from
     an existing sink's subscription: those events belong to the renamed
     sink and must not fork into a second table."""
-    raw = read_event_log(spark, log_dir, files=files)
-    ev = prepare_events(raw, table_regex=table_regex)
+    dml = (F.col("entry_type") == "ROWDATA") & ~F.col("is_ddl")
 
     # tables present in this batch: distinct over two scan-pruned columns
     present = sorted(
         (r["schema_name"], r["table_name"])
-        for r in ev.where(~F.col("is_ddl"))
+        for r in ev.where(dml)
         .select("schema_name", "table_name").distinct().collect())
 
     # names covered by existing sinks — their CURRENT subscription plus
@@ -208,3 +206,24 @@ def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
             batch_id=None if batch_id is None else f"{batch_id}/{name}",
             salt_partitions=salt_partitions, wire=wire)
     return out
+
+
+def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
+                  table_regex: str = r"^train\.[\w$]+$",
+                  batch_id: str | None = None,
+                  key_col: str = "doc_id",
+                  n_buckets: int = 16,
+                  schema_factory: Callable[[str], T.StructType] | None = None,
+                  wire: bool = False,
+                  salt_partitions: int | None = None,
+                  merge_mode: str = "cow",
+                  files: list[str] | None = None,
+                  ) -> dict[str, ReplayStats]:
+    """Batch mirror: replay one whole log into the LakeDatabase (see
+    mirror_apply for the per-batch semantics)."""
+    raw = read_event_log(spark, log_dir, files=files)
+    ev = prepare_events(raw, table_regex=table_regex)
+    return mirror_apply(ev, db, batch_id=batch_id, key_col=key_col,
+                        n_buckets=n_buckets, schema_factory=schema_factory,
+                        wire=wire, salt_partitions=salt_partitions,
+                        merge_mode=merge_mode)

@@ -128,13 +128,7 @@ class StreamingReplay:
         try:
             n_rows = complete.where(F.col("entry_type") == "ROWDATA").count()
             lineage = batch_lineage(complete) if n_rows else []
-            stats = apply_events(
-                complete, self.table,
-                batch_id=f"epoch-{epoch_id}",
-                salt_partitions=self.salt_partitions,
-                wire=True,
-                views=self.views,
-            )
+            stats = self._apply(complete, epoch_id)
             lag_row = complete.agg(F.max("execute_ts").alias("m")).collect()[0]
             # tail spill AFTER the merge committed: a crash in between
             # replays the epoch (ledger no-op) and rebuilds the same tail
@@ -158,8 +152,27 @@ class StreamingReplay:
             ),
             "lineage": lineage,
             "batch_sec": time.time() - t0,
-            "table_version": self.table.version,
+            "table_version": self._sink_version(),
         })
+
+    # --------------------------------------------------- sink hooks
+    # (overridden by MirrorStreamingReplay to fan into a LakeDatabase)
+    def _apply(self, complete: DataFrame, epoch_id: int | None):
+        # epoch_id None = tail flush: LSN fence alone provides idempotence
+        return apply_events(
+            complete, self.table,
+            batch_id=None if epoch_id is None else f"epoch-{epoch_id}",
+            salt_partitions=self.salt_partitions,
+            wire=True,
+            views=self.views,
+        )
+
+    def _sink_version(self):
+        return self.table.version
+
+    def _maintain_targets(self) -> list:
+        return [("table", self.table)] + [
+            (f"view{i}", v.table) for i, v in enumerate(self.views)]
 
     def _maybe_maintain(self, n_rows: int) -> dict | None:
         """Every ``maintenance_every`` data-bearing epochs, run
@@ -172,14 +185,10 @@ class StreamingReplay:
         self._data_epochs += 1
         if self._data_epochs % self.maintenance_every:
             return None
-        out = {"table": self.table.maintain(
+        return {label: t.maintain(
             max_files_per_bucket=self.max_files_per_bucket,
-            snapshots_keep=self.snapshots_keep)}
-        for i, v in enumerate(self.views):
-            out[f"view{i}"] = v.table.maintain(
-                max_files_per_bucket=self.max_files_per_bucket,
-                snapshots_keep=self.snapshots_keep)
-        return out
+            snapshots_keep=self.snapshots_keep)
+            for label, t in self._maintain_targets()}
 
     # -------------------------------------------------------------- run
     def start(self, available_now: bool = True):
@@ -211,6 +220,5 @@ class StreamingReplay:
             return
         # no batch id: the LSN fence alone makes a re-flush idempotent, and a
         # constant id would wrongly skip flushes of NEW tails in later runs
-        apply_events(tail, self.table, batch_id=None, wire=True,
-                     views=self.views)
+        self._apply(tail, epoch_id=None)
         self.tail_state.clear()
