@@ -260,6 +260,89 @@ def _run_group_replay(spark: SparkSession) -> DataFrame:
     return _canonical_state(table.refresh().read())
 
 
+INDEX_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("fp_md5", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+
+def _run_fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained curation index (TransformView): an exact-dup
+    fingerprint index over the tokenized corpus kept current under the CDC
+    replay at O(batch) per range — dup detection then reads the narrow
+    index, never the token arrays. Returns the index's final state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import fingerprint_index_view
+
+    work = os.path.join(_WORK, "q_fp_index")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=17), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    vt = LakeTable.create(
+        spark, os.path.join(work, "fp_index"), INDEX_SCHEMA, n_buckets=8,
+        df=base_df.select("doc_id", F.md5(F.to_json("tokens")).alias("fp_md5"),
+                          "n_tok", "source"))
+    replay(spark, log_dir, table.refresh(),
+           views=[fingerprint_index_view(vt)])
+    return vt.refresh().read().select(*[f.name for f in INDEX_SCHEMA])
+
+
+def _fingerprint_index_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_fingerprint_index``: sequential python fold →
+    python md5 over each token array's canonical JSON."""
+    import hashlib
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_fp_index")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=17), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    rows = sorted(state.values(), key=lambda r: r["doc_id"])
+
+    def fp(toks):
+        if toks is None:
+            return None
+        return hashlib.md5(json.dumps(
+            list(toks), separators=(",", ":")).encode()).hexdigest()
+
+    data = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "fp_md5": pa.array([fp(r.get("tokens")) for r in rows], pa.string()),
+        "n_tok": pa.array(
+            [None if r.get("n_tok") is None else int(r["n_tok"]) for r in rows],
+            pa.int32()),
+        "source": pa.array([r.get("source") for r in rows], pa.string()),
+    }
+    os.makedirs(work, exist_ok=True)
+    p = os.path.join(work, "expected.parquet")
+    pq.write_table(pa.table(data), p)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 def _run_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-database mirror (RdbMirrorDbSyncService analog, SURVEY §2
     rows 4/36): one deterministic binlog carrying TWO source tables fans
@@ -406,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
     q["cdc_mirror_state"] = _run_mirror
+    q["cdc_fingerprint_index"] = _run_fingerprint_index
     return q
 
 
@@ -628,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
+        o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
     except Exception:
         pass
     return o

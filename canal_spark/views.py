@@ -24,6 +24,8 @@ O(matching rows), not O(view) rewrites thanks to MERGE file pruning.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -131,3 +133,76 @@ class JoinedView:
             .withColumn("op", F.lit("U"))
         )
         return self.table.merge_apply(refreshed, batch_id=batch_id)
+
+
+class TransformView:
+    """A derived table maintained from CDC net changes by a per-row column
+    transform — the curation-index analog of :class:`JoinedView`.
+
+    Keeps a narrow index (e.g. ``doc_id → fingerprint, n_tok, source``)
+    fresh at O(batch) cost per micro-batch instead of recomputing the
+    derivation over the whole corpus. The training-data use: an exact-dup
+    fingerprint index over the tokenized corpus stays current UNDER the CDC
+    stream, so dup-group detection is a groupBy over the index table (a
+    few narrow columns), never a rescan of the token arrays. Reference
+    shape: the ES adapter's per-DML document build with computed fields
+    (client-adapter/escore/.../ESSyncService.java:458-492 resolves each
+    changed row to its target document at sync time); Spark-first, the
+    transform is pure column expressions over the batch's net rows.
+
+    ``transform``: DataFrame → DataFrame over the upserted net rows
+    (key + the batch's data columns); must return the view's logical
+    columns (missing input columns arrive as NULLs of the declared type —
+    pass ``input_types`` for any column the transform needs that DDL could
+    drop/rename away mid-stream). Deletes and TRUNCATE propagate to the
+    index unchanged — the interface matches JoinedView, so TransformViews
+    plug into the same ``views=[...]`` hooks of replay()/StreamingReplay.
+    """
+
+    def __init__(self, view_table: LakeTable,
+                 transform: Callable[[DataFrame], DataFrame],
+                 input_types: dict | None = None):
+        self.table = view_table
+        self.transform = transform
+        self.input_types = dict(input_types or {})
+
+    def apply(self, net_changes: DataFrame, batch_id: str | None = None,
+              max_lsn: str | None = None) -> dict:
+        key = self.table.key_col
+        present = set(net_changes.columns)
+        missing = [F.lit(None).cast(t).alias(c)
+                   for c, t in self.input_types.items() if c not in present]
+        cols = self.table.logical_columns()
+        view_types = self.table.schema()
+
+        ups = self.transform(
+            net_changes.where(F.col("op") == "U").select("*", *missing)
+        ).select(*cols, "op", "lsn")
+        dels = net_changes.where(F.col("op") == "D").select(
+            F.col(key),
+            *[F.lit(None).cast(view_types[c].dataType).alias(c)
+              for c in cols if c != key],
+            "op", "lsn",
+        )
+        return self.table.merge_apply(ups.unionByName(dels.select(*cols, "op", "lsn")),
+                                      batch_id=batch_id, max_lsn=max_lsn)
+
+
+def fingerprint_index_view(view_table: LakeTable) -> TransformView:
+    """The standard curation index: ``doc_id, fp_md5 (md5 of the token
+    array's canonical JSON — the portable rendering shared with the text
+    operators), n_tok, source``. Pure JVM expressions; no Python touches
+    row data."""
+    def xf(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.md5(F.to_json(F.col("tokens"))).alias("fp_md5"),
+        )
+
+    from pyspark.sql import types as T
+
+    return TransformView(
+        view_table, xf,
+        input_types={"tokens": T.ArrayType(T.IntegerType()),
+                     "n_tok": T.IntegerType(),
+                     "source": T.StringType()})

@@ -168,3 +168,74 @@ def test_joined_view_dim_refresh(spark, tmp_work):
     replay(spark, tail_dir, table, batch_id="b1", views=[view])
     assert_state_equal(_view_state(view),
                        _expected_view(cur_tbl, tail_dir, new_rows), VIEW_COLS)
+
+
+# ---------------------------------------------------- TransformView index
+
+INDEX_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("fp_md5", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+INDEX_COLS = [f.name for f in INDEX_SCHEMA]
+
+
+def _expected_index(base, log_dir):
+    """Recompute-from-scratch: oracle final state -> python md5 of the
+    token array's canonical JSON (the portable rendering to_json emits)."""
+    import hashlib
+    import json
+
+    expected, _cols = oracle_final_state(base, log_dir)
+    out = {}
+    for doc_id, row in expected.items():
+        toks = row.get("tokens")
+        fp = (None if toks is None else hashlib.md5(
+            json.dumps(list(toks), separators=(",", ":")).encode()).hexdigest())
+        out[doc_id] = {"doc_id": doc_id, "fp_md5": fp,
+                       "n_tok": row.get("n_tok"), "source": row.get("source")}
+    return out
+
+
+def test_transform_view_fingerprint_index(spark, tmp_work):
+    """An exact-dup fingerprint index stays current UNDER the CDC stream:
+    replay with the TransformView attached == recompute-from-scratch over
+    the final corpus, across deletes/pk-changes and a DDL-split range;
+    redelivery is a no-op (LSN fence); dup-group detection over the
+    maintained index equals dup groups of the final token arrays."""
+    from canal_spark.views import fingerprint_index_view
+
+    ddl = [(1200, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=2500, seed=61, events_per_file=700,
+                      pk_change_frac=0.04, other_table_frac=0.05,
+                      ddl_script=ddl)
+    base = generate_base_table(300, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    vt = LakeTable.create(
+        spark, os.path.join(tmp_work, "fp_index"), INDEX_SCHEMA, n_buckets=8,
+        df=bdf.select("doc_id", F.md5(F.to_json("tokens")).alias("fp_md5"),
+                      "n_tok", "source"))
+    view = fingerprint_index_view(vt)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+
+    exp = _expected_index(base, log_dir)
+    assert_state_equal(_view_state(view), exp, INDEX_COLS)
+
+    # redelivery: no ledger id, the index's own LSN fence absorbs it
+    replay(spark, log_dir, table.refresh(), views=[view])
+    assert_state_equal(_view_state(view), exp, INDEX_COLS)
+
+    # dup groups over the narrow index == dup groups over the corpus
+    got = {
+        (r["fp_md5"], r["cnt"])
+        for r in view.table.refresh().read().groupBy("fp_md5")
+        .agg(F.count("*").alias("cnt")).where("cnt > 1").collect()
+    }
+    from collections import Counter
+    c = Counter(v["fp_md5"] for v in exp.values() if v["fp_md5"] is not None)
+    assert got == {(fp, n) for fp, n in c.items() if n > 1}
