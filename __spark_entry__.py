@@ -343,6 +343,100 @@ def _fingerprint_index_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+BAND_INDEX_SCHEMA = T.StructType([
+    T.StructField("band_key", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("bucket", T.LongType()),
+])
+_N_BANDS = 8
+
+
+def _run_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MinHash-LSH band index (MinhashBandIndexView):
+    near-dup candidate detection stays O(batch) under the CDC stream — the
+    index is never recomputed from the corpus. Returns the index's final
+    state (doc_id#band → band bucket hash)."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.dedup import banded_signatures
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import MinhashBandIndexView
+
+    work = os.path.join(_WORK, "q_band_index")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=23), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    bb = banded_signatures(
+        base_df.select("doc_id", F.array_join("tokens", " ").alias("_txt")),
+        id_col="doc_id", text_col="_txt", bands=_N_BANDS,
+    ).select(F.col("id").alias("doc_id"), "band", "bucket")
+    seed = (
+        base_df.select("doc_id", F.explode(
+            F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"))
+        .join(bb, on=["doc_id", "band"], how="left")
+        .select(F.concat_ws("#", "doc_id", "band").alias("band_key"),
+                "doc_id", F.col("band").cast("int"), F.col("bucket").cast("long"))
+    )
+    vt = LakeTable.create(spark, os.path.join(work, "band_idx"),
+                          BAND_INDEX_SCHEMA, key_col="band_key", n_buckets=8,
+                          df=seed)
+    replay(spark, log_dir, table.refresh(),
+           views=[MinhashBandIndexView(vt, bands=_N_BANDS)])
+    return vt.refresh().read().select(*[f.name for f in BAND_INDEX_SCHEMA])
+
+
+def _minhash_index_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_minhash_index``: sequential python fold to the
+    final corpus → the md5-portable band-bucket SQL (the same hash family
+    as the Spark kernel, parity-tested) over a doc × band grid."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.dedup import banded_signatures_sql
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_band_index")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=23), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    rows = sorted(state.values(), key=lambda r: r["doc_id"])
+    data = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "_txt": pa.array(
+            [" ".join(map(str, r["tokens"])) if r.get("tokens") else None
+             for r in rows], pa.string()),
+    }
+    os.makedirs(work, exist_ok=True)
+    p = os.path.join(work, "expected.parquet")
+    pq.write_table(pa.table(data), p)
+    bb = banded_signatures_sql(bands=_N_BANDS, table="corpus",
+                               id_col="doc_id", text_col="_txt")
+    return f"""
+        WITH corpus AS (SELECT * FROM read_parquet('{p}')),
+        grid AS (SELECT doc_id, unnest(range({_N_BANDS})) AS band FROM corpus),
+        bb AS ({bb})
+        SELECT g.doc_id || '#' || g.band AS band_key, g.doc_id,
+               CAST(g.band AS INTEGER) AS band, bb.bucket AS bucket
+        FROM grid g LEFT JOIN bb ON bb.id = g.doc_id AND bb.band = g.band
+    """
+
+
 def _run_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-database mirror (RdbMirrorDbSyncService analog, SURVEY §2
     rows 4/36): one deterministic binlog carrying TWO source tables fans
@@ -490,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_view_sync"] = _run_view_sync
     q["cdc_mirror_state"] = _run_mirror
     q["cdc_fingerprint_index"] = _run_fingerprint_index
+    q["cdc_minhash_index"] = _run_minhash_index
     return q
 
 
@@ -713,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_view_sync"] = _view_sync_oracle_sql()
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
+        o["cdc_minhash_index"] = _minhash_index_oracle_sql()
     except Exception:
         pass
     return o

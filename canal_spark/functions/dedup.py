@@ -226,6 +226,61 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def banded_signatures(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 64, bands: int = 8) -> DataFrame:
+    """(id, sig, band, bucket): one row per doc per LSH band.
+
+    The bucket hash folds the band index in (``h60(band || ',' || slice)``)
+    so bucket values are globally disjoint across bands — a single-column
+    join key downstream. Docs with zero shingles (< n words / NULL text)
+    produce no rows; callers that need a static per-doc row set (the
+    CDC-maintained band index) left-join against a doc × band grid."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sig.select("id", "sig", band_idx).select(
+        "id",
+        "sig",
+        "band",
+        hashing.h60(
+            F.concat_ws(",", F.col("band"),
+                        F.array_join(F.slice("sig", F.col("band") * rows + 1, rows), ",")),
+        ).alias("bucket"),
+    )
+
+
+def banded_signatures_sql(n: int = 3, num_hashes: int = 64, bands: int = 8,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB twin of :func:`banded_signatures` (without ``sig``):
+    one (id, band, bucket) row per doc per band."""
+    rows = num_hashes // bands
+    perms = ", ".join(
+        f"MIN({hashing.perm_sql('h', k)}) AS m{k}" for k in range(num_hashes)
+    )
+    sig_list = "[" + ", ".join(f"m{k}" for k in range(num_hashes)) + "]"
+    per_band = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, " + hashing.h60_sql(
+            f"{b} || ',' || array_to_string("
+            f"list_slice(sig, {b * rows + 1}, {(b + 1) * rows}), ',')"
+        ) + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT {id_col} AS id,
+                   {word_shingles_sql(n).replace('lower(text)', f'lower({text_col})')} AS s
+            FROM {table}
+        ),
+        ex AS (SELECT id, {hashing.h60_sql('s')} AS h
+               FROM (SELECT id, unnest(s) AS s FROM sh)),
+        sig0 AS (SELECT id, {perms} FROM ex GROUP BY id),
+        sig AS (SELECT id, {sig_list} AS sig FROM sig0)
+        {per_band}
+    """
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 64, bands: int = 8,
@@ -246,17 +301,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     The signature rides THROUGH the band join (id → sig is functional), so
     the signature subtree is computed once and nothing is persisted — round
     1 `.persist()`'d it and leaked executor storage for the session."""
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig.select("id", "sig", band_idx).select(
-        "id",
-        "sig",
-        hashing.h60(
-            F.concat_ws(",", F.col("band"),
-                        F.array_join(F.slice("sig", F.col("band") * rows + 1, rows), ",")),
-        ).alias("bucket"),
-    )
+    banded = banded_signatures(df, id_col, text_col, n, num_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
     cand = (

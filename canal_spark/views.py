@@ -206,3 +206,91 @@ def fingerprint_index_view(view_table: LakeTable) -> TransformView:
         input_types={"tokens": T.ArrayType(T.IntegerType()),
                      "n_tok": T.IntegerType(),
                      "source": T.StringType()})
+
+
+class MinhashBandIndexView:
+    """An incrementally-maintained MinHash-LSH band index over the CDC'd
+    token corpus — near-dup detection without corpus rescans.
+
+    At 10^10 rows you cannot re-minhash the corpus per micro-batch; the
+    index must be maintained at O(batch). Each live doc owns exactly
+    ``bands`` rows keyed ``doc_id#band`` with the band's md5-portable
+    bucket hash (functions/dedup.banded_signatures — same hash family as
+    the batch `dedup_minhash_lsh` operator, so index-derived candidates
+    equal recompute-from-scratch candidates). Upserts replace all ``bands``
+    rows of the doc (band count is fixed ⇒ the key set per doc is static
+    and stale buckets are impossible); deletes fan out to the same keys;
+    docs with zero shingles (NULL/short tokens) keep their rows with a
+    NULL bucket, so they never join. Exactly-once rides the view table's
+    own ledger + per-key LSN fence, like every other view.
+
+    Reference shape: the ES adapter maintains a derived search index per
+    DML (client-adapter/escore/.../ESSyncService.java:458-492); the band
+    index is the same "serving index kept current under CDC" pattern with
+    a similarity index instead of a join view.
+    """
+
+    def __init__(self, view_table: LakeTable, doc_col: str = "doc_id",
+                 tokens_col: str = "tokens", n: int = 3,
+                 num_hashes: int = 64, bands: int = 8):
+        self.table = view_table
+        self.doc_col = doc_col
+        self.tokens_col = tokens_col
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+
+    def _band_seq(self):
+        return F.explode(F.sequence(F.lit(0), F.lit(self.bands - 1))).alias("band")
+
+    def apply(self, net_changes: DataFrame, batch_id: str | None = None,
+              max_lsn: str | None = None) -> dict:
+        from canal_spark.functions.dedup import banded_signatures
+
+        key = self.table.key_col
+        toks = (F.col(self.tokens_col) if self.tokens_col in net_changes.columns
+                else F.lit(None).cast("array<int>"))
+        ups = net_changes.where(F.col("op") == "U").select(
+            F.col(self.doc_col).alias("_doc"), toks.alias("_toks"), "lsn")
+        # tokens render to a text form ("t1 t2 ...") so the shingle/minhash
+        # kernel and its DuckDB twin apply verbatim; NULL/empty arrays yield
+        # zero shingles and fall out of banded_signatures entirely
+        bb = banded_signatures(
+            ups.select("_doc", F.array_join("_toks", " ").alias("_txt")),
+            id_col="_doc", text_col="_txt", n=self.n,
+            num_hashes=self.num_hashes, bands=self.bands,
+        ).select(F.col("id").alias("_doc"), "band", "bucket")
+        up_rows = (
+            ups.select("_doc", "lsn", self._band_seq())
+            .join(bb, on=["_doc", "band"], how="left")
+            .select(
+                F.concat_ws("#", "_doc", "band").alias(key),
+                F.col("_doc").alias(self.doc_col),
+                F.col("band").cast("int").alias("band"),
+                F.col("bucket").cast("long").alias("bucket"),
+                F.lit("U").alias("op"), "lsn",
+            )
+        )
+        del_rows = (
+            net_changes.where(F.col("op") == "D")
+            .select(F.col(self.doc_col).alias("_doc"), "lsn", self._band_seq())
+            .select(
+                F.concat_ws("#", "_doc", "band").alias(key),
+                F.col("_doc").alias(self.doc_col),
+                F.col("band").cast("int").alias("band"),
+                F.lit(None).cast("long").alias("bucket"),
+                F.lit("D").alias("op"), "lsn",
+            )
+        )
+        return self.table.merge_apply(up_rows.unionByName(del_rows),
+                                      batch_id=batch_id, max_lsn=max_lsn)
+
+    def candidate_pairs(self) -> DataFrame:
+        """Near-dup candidate pairs straight off the maintained index: a
+        self-join on the band bucket — the only shuffle is bucket-sized,
+        never corpus²; NULL buckets (shingle-less docs) join nothing."""
+        idx = self.table.refresh().read().where(F.col("bucket").isNotNull())
+        a = idx.select(F.col(self.doc_col).alias("id_a"), "bucket")
+        b = idx.select(F.col(self.doc_col).alias("id_b"), "bucket")
+        return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())

@@ -239,3 +239,102 @@ def test_transform_view_fingerprint_index(spark, tmp_work):
     from collections import Counter
     c = Counter(v["fp_md5"] for v in exp.values() if v["fp_md5"] is not None)
     assert got == {(fp, n) for fp, n in c.items() if n > 1}
+
+
+# ------------------------------------------------ MinhashBandIndexView
+
+BAND_SCHEMA = T.StructType([
+    T.StructField("band_key", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("bucket", T.LongType()),
+])
+BAND_COLS = [f.name for f in BAND_SCHEMA]
+N_BANDS = 8
+
+
+def _seed_band_index(spark, bdf):
+    """Band rows of the initial full load, via the same kernel."""
+    from canal_spark.functions.dedup import banded_signatures
+
+    bb = banded_signatures(
+        bdf.select("doc_id", F.array_join("tokens", " ").alias("_txt")),
+        id_col="doc_id", text_col="_txt", bands=N_BANDS,
+    ).select(F.col("id").alias("doc_id"), "band", "bucket")
+    grid = bdf.select("doc_id", F.explode(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
+    return grid.join(bb, on=["doc_id", "band"], how="left").select(
+        F.concat_ws("#", "doc_id", "band").alias("band_key"),
+        "doc_id", F.col("band").cast("int"), F.col("bucket").cast("long"))
+
+
+def _expected_band_state(spark, base, log_dir):
+    """Recompute-from-scratch: banded_signatures over the oracle's final
+    corpus, NULL-bucket rows for shingle-less docs."""
+    from canal_spark.functions.dedup import banded_signatures
+
+    expected, _ = oracle_final_state(base, log_dir)
+    rows = [(d, " ".join(map(str, r["tokens"])) if r.get("tokens") else None)
+            for d, r in expected.items()]
+    docs = spark.createDataFrame(rows, "doc_id string, _txt string")
+    bb = banded_signatures(docs, id_col="doc_id", text_col="_txt",
+                           bands=N_BANDS).select(
+        F.col("id").alias("doc_id"), "band", "bucket")
+    grid = docs.select("doc_id", F.explode(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
+    out = grid.join(bb, on=["doc_id", "band"], how="left").select(
+        F.concat_ws("#", "doc_id", "band").alias("band_key"),
+        "doc_id", F.col("band").cast("int"), F.col("bucket").cast("long"))
+    return {r["band_key"]: {c: r[c] for c in BAND_COLS} for r in out.collect()}
+
+
+def test_minhash_band_index_view(spark, tmp_work):
+    """The LSH band index stays current UNDER the CDC stream: replay with
+    the view attached == re-minhash of the final corpus, across deletes
+    (band fanout), pk-changes, and a DDL-split range; redelivery is a
+    no-op; candidate pairs off the index == banding the final corpus from
+    scratch."""
+    from canal_spark.functions.dedup import minhash_lsh_pairs
+    from canal_spark.views import MinhashBandIndexView
+
+    ddl = [(1100, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=2200, seed=73, events_per_file=600,
+                      pk_change_frac=0.05, other_table_frac=0.05,
+                      ddl_script=ddl)
+    base = generate_base_table(250, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "band_idx"),
+                          BAND_SCHEMA, key_col="band_key", n_buckets=8,
+                          df=_seed_band_index(spark, bdf))
+    view = MinhashBandIndexView(vt, bands=N_BANDS)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+
+    exp = _expected_band_state(spark, base, log_dir)
+    got = {r["band_key"]: {c: r[c] for c in BAND_COLS}
+           for r in view.table.refresh().read().collect()}
+    assert got == exp
+
+    # redelivery: the index's own LSN fence absorbs a duplicate replay
+    replay(spark, log_dir, table.refresh(), views=[view])
+    got2 = {r["band_key"]: {c: r[c] for c in BAND_COLS}
+            for r in view.table.refresh().read().collect()}
+    assert got2 == exp
+
+    # usage: candidate pairs from the maintained index == candidates from
+    # banding the final corpus from scratch (same hash family end-to-end)
+    expected_state, _ = oracle_final_state(base, log_dir)
+    rows = [(d, " ".join(map(str, r["tokens"])) if r.get("tokens") else None)
+            for d, r in expected_state.items()]
+    docs = spark.createDataFrame(rows, "doc_id string, _txt string")
+    scratch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "_txt", bands=N_BANDS,
+                                   threshold_bp=0).collect()
+    }
+    from_index = {(r["id_a"], r["id_b"])
+                  for r in view.candidate_pairs().collect()}
+    assert from_index == scratch
