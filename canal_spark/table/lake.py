@@ -96,7 +96,8 @@ class LakeTable:
                max_records_per_file: int = 1_000_000,
                merge_mode: str = "cow",
                mor_amplification_limit: int = 16,
-               subscribe: tuple[str, str] | None = None) -> "LakeTable":
+               subscribe: tuple[str, str] | None = None,
+               changelog: bool = False) -> "LakeTable":
         """Create the table; optionally seed it with an initial full load
         (the reference's ETL import, client-adapter/rdb/.../RdbEtlService.java:30-60).
 
@@ -141,6 +142,12 @@ class LakeTable:
         }
         if subscribe is not None:
             snap["subscribed"] = list(subscribe)
+        if changelog:
+            # downstream change feed (Canal client get/ack + MQ FlatMessage
+            # consumption analog): every merge commit also lands its
+            # submitted net batch under changelog/, keyed by commit version
+            snap["changelog_enabled"] = True
+            snap["changelog"] = {}    # version(str) -> relative dir
         tbl = object.__new__(cls)
         tbl.spark, tbl.path = spark, path
         tbl.meta_dir = os.path.join(path, "metadata")
@@ -557,6 +564,10 @@ class LakeTable:
             wm = max(filter(None, [max_lsn, obs_lsn]), default=None)
             if wm:
                 snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), wm)
+            if self.snap.get("changelog_enabled"):
+                snap["changelog"] = dict(self.snap.get("changelog", {}))
+                snap["changelog"][str(version)] = self._write_changelog(
+                    chg, data_cols, version)
             self._write_snapshot(snap)
             return {"skipped": False, "version": version, "mode": "cow",
                     "buckets": len(touched), "upserts": n_up, "deletes": n_del,
@@ -609,11 +620,90 @@ class LakeTable:
         wm = max(filter(None, [max_lsn, obs_lsn]), default=None)
         if wm:
             snap["watermark_lsn"] = max(snap.get("watermark_lsn", ""), wm)
+        if self.snap.get("changelog_enabled"):
+            snap["changelog"] = dict(self.snap.get("changelog", {}))
+            snap["changelog"][str(version)] = self._write_changelog(
+                chg, data_cols, version)
         self._write_snapshot(snap)
         return {"skipped": False, "version": version, "mode": "mor",
                 "buckets": len(touched), "upserts": n_up, "deletes": n_del,
                 "files_read": 0, "files_carried": bucket_files,
                 "delta_files": sum(len(fl) for fl in new_files.values())}
+
+    # -------------------------------------------------------- change feed
+    def _write_changelog(self, chg: DataFrame, data_cols: list[str],
+                         version: int) -> str:
+        """Land this commit's submitted net batch under ``changelog/`` —
+        O(batch) extra write, only when the table was created with
+        ``changelog=True``."""
+        rel = f"v{version:08d}"
+        out = chg.select(
+            *[F.col(f"_c_{c}").alias(c) for c in data_cols],
+            F.col("_c_op").alias("op"),
+            F.col("_c_lsn").alias("lsn"),
+            F.lit(version).cast("int").alias("_commit_version"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(self.path, "changelog", rel))
+        return rel
+
+    def read_changes(self, since_version: int = 0,
+                     until_version: int | None = None) -> DataFrame:
+        """The lake table as a CDC *source*: net changes committed in
+        versions (since_version, until_version] — the Spark-first analog of
+        the reference's client get/ack feed (server/.../CanalServerWith-
+        Embedded.java:331-446 getWithoutAck/ack) and its MQ FlatMessage
+        stream. A consumer remembers the last version it applied (its ack
+        position) and pulls forward from there; rows are
+        key + data columns + op ('U'/'D') + lsn + _commit_version, i.e.
+        exactly the ``merge_apply`` contract, so a downstream LakeTable
+        syncs with ``merge_apply(collapse_lww(read_changes(ack)))`` — the
+        client-adapter loop rebuilt on the lake.
+
+        Delivery is at-least-once per ROW (a re-delivered source range that
+        the LSN fence turns into a per-key no-op still logs its submitted
+        rows — matching Canal's MQ producers, which also re-send on retry;
+        the reference requires idempotent consumers and so does this feed:
+        the LWW fold by (key, max lsn) makes any consumer exact). Ledgered
+        batches (streaming's batch_id path) are suppressed before commit,
+        so the steady-state stream feed is exactly-once. Boundaries: DDL
+        and TRUNCATE are metadata commits and do not appear in the feed —
+        consumers track them via snapshot history (``load_version``).
+
+        Columns follow the table's live schema per commit; commits straddling
+        an ADD/RENAME are unioned by parquet schema merge (absent columns
+        read NULL under their commit-time name)."""
+        entries = sorted((int(v), rel) for v, rel in
+                         self.snap.get("changelog", {}).items())
+        paths = [os.path.join(self.path, "changelog", rel)
+                 for v, rel in entries
+                 if v > since_version
+                 and (until_version is None or v <= until_version)]
+        if not paths:
+            schema = T.StructType(
+                list(self.schema().fields)
+                + [T.StructField("op", T.StringType()),
+                   T.StructField("lsn", T.StringType()),
+                   T.StructField("_commit_version", T.IntegerType())])
+            return self.spark.createDataFrame([], schema)
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths))
+
+    def expire_changelog(self, upto_version: int) -> int:
+        """Purge feed entries with version ≤ ``upto_version`` — call once
+        every consumer's ack position has passed it. The ack-frees-the-
+        buffer semantics of the reference's event store
+        (store/.../MemoryEventStoreWithBuffer.java:463-519), applied to the
+        on-disk feed so a long tail stays bounded like every other
+        maintenance surface."""
+        cl = dict(self.snap.get("changelog", {}))
+        drop = [v for v in list(cl) if int(v) <= upto_version]
+        for v in drop:
+            shutil.rmtree(os.path.join(self.path, "changelog", cl.pop(v)),
+                          ignore_errors=True)
+        if drop:
+            self._commit_meta(changelog=cl)
+        return len(drop)
 
     # ----------------------------------------------------------------- DDL
     def _commit_meta(self, **updates) -> None:

@@ -1,0 +1,140 @@
+"""The lake table as a CDC *source*: the changelog feed.
+
+The reference's primary consumption mode is the client/MQ change feed —
+consumers pull batches with positions and ack to advance
+(server/.../CanalServerWithEmbedded.java:331-446 getWithoutAck/ack), with
+at-least-once MQ delivery and idempotent adapters. These tests rebuild that
+loop on the lake: a primary LakeTable created with ``changelog=True`` logs
+every merge commit's net batch; a downstream LakeTable syncs by
+``merge_apply(collapse_lww(read_changes(ack)))`` and must converge to the
+primary's state across DDL-split ranges, incremental ack positions,
+redelivery, merge-on-read commits, and feed expiry.
+"""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from canal_spark.fixtures import CdcLogSpec, generate_base_table, generate_cdc_log
+from canal_spark.operators.lww import collapse_lww
+from canal_spark.pipeline import replay
+from canal_spark.table.lake import LakeTable
+
+TOKSEQ_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+BASE_COLS = [f.name for f in TOKSEQ_SCHEMA]
+
+
+def _state(table: LakeTable, cols=BASE_COLS) -> dict:
+    return {
+        r["doc_id"]: tuple(
+            tuple(r[c]) if isinstance(r[c], list) else r[c] for c in cols)
+        for r in table.refresh().read().select(*cols).collect()
+    }
+
+
+def _setup(spark, tmp_work, spec: CdcLogSpec, n_base=250, **table_kw):
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    primary = LakeTable.create(spark, os.path.join(tmp_work, "primary"),
+                               TOKSEQ_SCHEMA, n_buckets=8, df=bdf,
+                               changelog=True, **table_kw)
+    consumer = LakeTable.create(spark, os.path.join(tmp_work, "consumer"),
+                                TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    return base, log_dir, primary, consumer
+
+
+def _sync(consumer: LakeTable, feed, batch_id=None) -> None:
+    net = collapse_lww(feed.drop("_commit_version"), key="doc_id")
+    consumer.merge_apply(net, batch_id=batch_id)
+
+
+def test_changelog_relay_reproduces_primary(spark, tmp_work):
+    """Full-feed relay: applying read_changes(0) to a second table seeded
+    from the same base reproduces the primary's final state — across a
+    DDL-split range (post-DDL commits carry the widened schema; parquet
+    schema merge unions the feed)."""
+    ddl = [(1100, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=2400, seed=91, events_per_file=650,
+                      pk_change_frac=0.05, ddl_script=ddl)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, primary, batch_id="full")
+
+    feed = primary.refresh().read_changes(0)
+    assert "_commit_version" in feed.columns and "lang" in feed.columns
+    _sync(consumer, feed, batch_id="relay")
+    assert _state(consumer) == _state(primary)
+
+
+def test_changelog_ack_positions(spark, tmp_work):
+    """Incremental consumption: a consumer that acked version V pulls only
+    later commits and still converges; the feed below the ack can then be
+    expired without breaking the remaining range."""
+    spec = CdcLogSpec(n_events=2400, seed=92, events_per_file=400,
+                      pk_change_frac=0.05)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    # split the segment files into two delivery windows
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    half = len(segs) // 2
+    d1, d2 = os.path.join(tmp_work, "d1"), os.path.join(tmp_work, "d2")
+    os.makedirs(d1), os.makedirs(d2)
+    for f in segs[:half]:
+        shutil.copy(os.path.join(log_dir, f), os.path.join(d1, f))
+    for f in segs[half:]:
+        shutil.copy(os.path.join(log_dir, f), os.path.join(d2, f))
+
+    replay(spark, d1, primary, batch_id="w1")
+    ack = primary.refresh().version
+    _sync(consumer, primary.read_changes(0, until_version=ack), "c1")
+
+    replay(spark, d2, primary.refresh(), batch_id="w2")
+    tail = primary.refresh().read_changes(since_version=ack)
+    assert tail.select(F.min("_commit_version")).first()[0] > ack
+    _sync(consumer, tail, "c2")
+    assert _state(consumer) == _state(primary)
+
+    # every consumer is past `ack`: purge the acked feed, the tail survives
+    dropped = primary.refresh().expire_changelog(upto_version=ack)
+    assert dropped > 0
+    assert primary.refresh().read_changes(0, until_version=ack).count() == 0
+    again = primary.read_changes(since_version=ack)
+    assert again.count() == tail.count()
+
+
+def test_changelog_redelivery(spark, tmp_work):
+    """Ledgered redelivery adds no feed entries (exactly-once stream path);
+    un-ledgered redelivery may re-log rows, but the consumer's LWW fold by
+    (key, max lsn) keeps the relayed state exact — the reference's
+    idempotent-adapter contract under at-least-once MQ delivery."""
+    spec = CdcLogSpec(n_events=1600, seed=93, events_per_file=800)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, primary, batch_id="full")
+    n_entries = len(primary.refresh().snap["changelog"])
+
+    replay(spark, log_dir, primary.refresh(), batch_id="full")  # ledgered
+    assert len(primary.refresh().snap["changelog"]) == n_entries
+
+    replay(spark, log_dir, primary.refresh())                   # un-ledgered
+    assert primary.refresh().read_changes(0).count() > 0
+    _sync(consumer, primary.read_changes(0), "relay")
+    assert _state(consumer) == _state(primary)
+
+
+def test_changelog_under_merge_on_read(spark, tmp_work):
+    """The delta-commit path logs the same feed: a MoR primary relays into
+    a CoW consumer exactly."""
+    spec = CdcLogSpec(n_events=1600, seed=94, events_per_file=500)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec,
+                                              merge_mode="mor")
+    replay(spark, log_dir, primary, batch_id="full")
+    assert primary.refresh().snap["deltas"]  # the MoR path actually ran
+    _sync(consumer, primary.read_changes(0), "relay")
+    assert _state(consumer) == _state(primary)
