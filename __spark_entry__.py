@@ -437,6 +437,107 @@ def _minhash_index_oracle_sql() -> str:
     """
 
 
+def _run_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake table as a CDC *source* (Canal client get/ack + MQ feed
+    analog, server/.../CanalServerWithEmbedded.java:331-446): replay into a
+    changelog-enabled primary, then return the consumer-side fold of the
+    feed — the per-key net winner (op + payload + lsn) a downstream adapter
+    would apply. Token arrays ride as md5 checksums (driver-canonicalizable,
+    same precedent as the replay-state queries)."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.operators.lww import collapse_lww
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+
+    work = os.path.join(_WORK, "q_changelog")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=29), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df,
+                             changelog=True)
+    replay(spark, log_dir, table.refresh())
+    feed = table.refresh().read_changes(0)
+    net = collapse_lww(feed.drop("_commit_version"), key="doc_id")
+    return net.select(
+        "doc_id", "op",
+        F.md5(F.to_json("tokens")).alias("tokens_md5"),
+        "n_tok", "source", "lsn",
+    )
+
+
+def _changelog_feed_oracle_sql() -> str:
+    """Sequential twin of the feed fold: the last event per touched key
+    (pk-change = D(old)+U(new)), rendered to the same md5 projection."""
+    import hashlib
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.lsn import encode_lsn_py
+    from canal_spark.oracle import read_log_events
+
+    work = os.path.join(_WORK, "oracle_changelog")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=29), base=base)
+
+    last: dict[str, tuple] = {}
+    for ev in read_log_events(log_dir):
+        if ev["entry_type"] != "ROWDATA" or ev["is_ddl"]:
+            continue
+        if (ev["schema_name"], ev["table_name"]) != ("train", "tokseq"):
+            continue
+        lsn = encode_lsn_py(ev["gtid_seq"], ev["binlog_file"], ev["binlog_pos"])
+        op, before, after = ev["event_type"], ev.get("before"), ev.get("after")
+        if op == "INSERT":
+            last[after["doc_id"]] = ("U", after, lsn)
+        elif op == "UPDATE":
+            if before and before["doc_id"] != after["doc_id"]:
+                last[before["doc_id"]] = ("D", None, lsn)
+            last[after["doc_id"]] = ("U", after, lsn)
+        elif op == "DELETE":
+            last[before["doc_id"]] = ("D", None, lsn)
+
+    def md5_toks(toks):
+        if toks is None:
+            return None
+        return hashlib.md5(json.dumps(
+            list(toks), separators=(",", ":")).encode()).hexdigest()
+
+    keys = sorted(last)
+    data = {
+        "doc_id": pa.array(keys, pa.string()),
+        "op": pa.array([last[k][0] for k in keys], pa.string()),
+        "tokens_md5": pa.array(
+            [md5_toks((last[k][1] or {}).get("tokens")) for k in keys],
+            pa.string()),
+        "n_tok": pa.array(
+            [None if (last[k][1] or {}).get("n_tok") is None
+             else int(last[k][1]["n_tok"]) for k in keys], pa.int32()),
+        "source": pa.array([(last[k][1] or {}).get("source") for k in keys],
+                           pa.string()),
+        "lsn": pa.array([last[k][2] for k in keys], pa.string()),
+    }
+    os.makedirs(work, exist_ok=True)
+    p = os.path.join(work, "expected.parquet")
+    pq.write_table(pa.table(data), p)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 def _run_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-database mirror (RdbMirrorDbSyncService analog, SURVEY §2
     rows 4/36): one deterministic binlog carrying TWO source tables fans
@@ -585,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_mirror_state"] = _run_mirror
     q["cdc_fingerprint_index"] = _run_fingerprint_index
     q["cdc_minhash_index"] = _run_minhash_index
+    q["cdc_changelog_feed"] = _run_changelog_feed
     return q
 
 
@@ -809,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
         o["cdc_minhash_index"] = _minhash_index_oracle_sql()
+        o["cdc_changelog_feed"] = _changelog_feed_oracle_sql()
     except Exception:
         pass
     return o
