@@ -336,7 +336,7 @@ class LakeTable:
             .partitionBy("_b").mode("overwrite").parquet(staging)
         )
         out: dict[str, list[str]] = {}
-        stats: dict[str, list[str]] = {}
+        moved: list[tuple[str, str]] = []
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("_b="):
                 continue
@@ -349,11 +349,22 @@ class LakeTable:
                 dst = os.path.join(self.data_dir, new)
                 os.replace(os.path.join(staging, entry, fn), dst)
                 out.setdefault(b, []).append(new)
-                # footer-only read, metadata-sized driver work per new file
-                st = _key_stats(dst, key_phys)
-                if st is not None:
-                    stats[new] = st
+                moved.append((new, dst))
                 seq += 1
+        # footer-only reads, metadata-sized per file — but serial they cost
+        # ~5 ms each on the driver (≈0.5 s per 1M-event commit at 32
+        # buckets × 2 ranges); pyarrow releases the GIL on IO, so a small
+        # thread pool makes the stats pass O(slowest footer)
+        from concurrent.futures import ThreadPoolExecutor
+
+        stats: dict[str, list[str]] = {}
+        if moved:
+            with ThreadPoolExecutor(min(16, len(moved))) as pool:
+                for (new, _dst), st in zip(
+                        moved, pool.map(
+                            lambda m: _key_stats(m[1], key_phys), moved)):
+                    if st is not None:
+                        stats[new] = st
         shutil.rmtree(staging, ignore_errors=True)
         return out, stats
 
