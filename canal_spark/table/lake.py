@@ -654,7 +654,10 @@ class LakeTable:
             F.col("_c_lsn").alias("lsn"),
             F.lit(version).cast("int").alias("_commit_version"),
         )
-        out.write.mode("overwrite").parquet(
+        # feed files are batch-bounded; coalesce so a 1 s-trigger stream
+        # doesn't shed 32 tiny files per commit (chg is persisted upstream,
+        # so the narrowed write re-reads cached blocks, not the pipeline)
+        out.coalesce(8).write.mode("overwrite").parquet(
             os.path.join(self.path, "changelog", rel))
         return rel
 
