@@ -37,6 +37,10 @@ def make_pyfiles_zip() -> str:
     return zpath
 
 
+def _cpu_snap() -> list[int]:
+    return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+
 def run_at(cores: int, zpath: str, log_dir: str, base_path: str,
            repeats: int = 2, stage: str = "full") -> dict:
     """One spark-submit run at `cores`. shuffle.partitions is held CONSTANT
@@ -64,7 +68,13 @@ def run_at(cores: int, zpath: str, log_dir: str, base_path: str,
         os.path.join(_REPO, "tools", "replay_job.py"),
         log_dir, base_path, table_dir, "32", str(repeats), stage,
     ]
+    c0 = _cpu_snap()
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    c1 = _cpu_snap()
+    d = [y - x for x, y in zip(c0, c1)]
+    tot = sum(d) or 1
+    noise = {"steal_pct": round(100 * d[7] / tot, 2),
+             "iowait_pct": round(100 * d[4] / tot, 2)}
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if out.returncode != 0 or not lines:
         raise RuntimeError(
@@ -72,7 +82,7 @@ def run_at(cores: int, zpath: str, log_dir: str, base_path: str,
             f"stderr tail:\n{out.stderr[-2000:]}"
         )
     shutil.rmtree(table_dir, ignore_errors=True)
-    return json.loads(lines[-1])
+    return {**json.loads(lines[-1]), **noise}
 
 
 def build_scaled_wire_fixture(n_events_base: int = 1_000_000,
@@ -133,6 +143,8 @@ def main() -> None:
         "cores_large": n_large, "sec_large": large["sec"],
         "eps_large": large["events_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "steal_small_pct": small["steal_pct"],
+        "steal_large_pct": large["steal_pct"],
         "target": ">=0.8 from N to 4N (BASELINE.json)",
     }
     print(json.dumps(result, indent=1))
@@ -141,7 +153,7 @@ def main() -> None:
             f"| {small['events']} ({stage}) | local[{n_small}] {small['sec']}s "
             f"{small['events_per_sec']} ev/s | local[{n_large}] "
             f"{large['sec']}s {large['events_per_sec']} ev/s | "
-            f"{round(eff, 3)} |\n"
+            f"{round(eff, 3)} (steal {small['steal_pct']}/{large['steal_pct']}%) |\n"
         )
 
 
