@@ -312,6 +312,61 @@ class LakeTable:
             .select(*[c["name"] for c in cols])
         )
 
+    def _lookup_files(self, keys: list, snap: dict) -> list[str]:
+        """Manifest-only file pruning for a point read: hash each key to its
+        bucket (same JVM ``bucket_expr`` the writes use), then keep only the
+        bucket's base+delta files whose footer [min_key, max_key] can hold
+        one of the keys. Returns manifest file names; never touches data."""
+        key = snap["key_col"]
+        ktype = next(_type_from_json(c["type"]) for c in snap["columns"]
+                     if c["name"] == key)
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(key, ktype)]))
+        brows = kdf.select(
+            key, bucket_expr(key, snap["n_buckets"]).alias("_b")).collect()
+        by_bucket: dict[int, list] = {}
+        for r in brows:
+            by_bucket.setdefault(r["_b"], []).append(r[key])
+        fstats = snap.get("file_stats", {})
+        names: list[str] = []
+        for b, ks in sorted(by_bucket.items()):
+            cand = (snap["files"].get(str(b), [])
+                    + snap.get("deltas", {}).get(str(b), []))
+            for name in cand:
+                st = fstats.get(name)
+                if st is None or any(st[0] <= k <= st[1] for k in ks):
+                    names.append(name)
+        return names
+
+    def lookup(self, keys: list, version: int | None = None) -> DataFrame:
+        """Key-pruned point read: live rows for exactly ``keys``.
+
+        The serving-side analog of the reference's adapters resolving the
+        current sink row for a PK before applying a change (client-adapter/
+        rdb/.../RdbSyncService.java keys every UPDATE/DELETE by pk), rebuilt
+        on manifest stats: bucket hash + per-file [min,max] footer bounds
+        (Iceberg manifest data skipping) prune the scan to the few files
+        that can hold the keys, so cost is O(|keys|) files — independent of
+        table size, the 100 TB point-read path. Buckets carrying
+        merge-on-read deltas fold to one winner per key by max LSN, exactly
+        like ``read_raw``; tombstoned keys return no row."""
+        snap = self.snap if version is None else self.load_version(version)
+        key = snap["key_col"]
+        hit = (
+            self._read_files(snap, self._lookup_files(keys, snap))
+            .where(F.col(key).isin(list(keys)))
+        )
+        others = [c for c in hit.columns if c != key]
+        folded = (
+            hit.groupBy(key)
+            .agg(F.max_by(F.struct(*others), F.col("_source_lsn")).alias("_w"))
+            .select(key, *[F.col(f"_w.{c}").alias(c) for c in others])
+        )
+        return (
+            folded.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .select(*[c["name"] for c in snap["columns"]])
+        )
+
     # -------------------------------------------------------------- writes
     def _write_data(
         self, df: DataFrame, version: int, prefix: str = "b",

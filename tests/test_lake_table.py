@@ -240,3 +240,48 @@ def test_add_column_position(spark, tmp_work):
     # reads still resolve every column after the reordering
     got = {r["doc_id"]: r for r in t.read().collect()}
     assert got["a"]["lead"] is None and got["a"]["tokens"] == [1, 2]
+
+
+def _big(spark, path, n=400, **kw):
+    rows = [(f"doc-{i:05d}", [i, i + 1], 2, "web") for i in range(n)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    return LakeTable.create(spark, path, SCHEMA, n_buckets=4, df=df,
+                            max_records_per_file=40, **kw)
+
+
+def test_lookup_matches_filtered_read(spark, tmp_work):
+    """lookup(keys) == read().filter(isin): updated, deleted, untouched and
+    absent keys — across CoW and MoR commits."""
+    t = _big(spark, os.path.join(tmp_work, "t"), merge_mode="mor")
+    ch = _chg(spark, [
+        ("doc-00007", [7, 7, 7], 3, "code", "U", "lsn-2"),
+        ("doc-00011", None, None, None, "D", "lsn-3"),
+        ("doc-99999", [1], 1, "new", "U", "lsn-4"),
+    ])
+    t.merge_apply(ch, batch_id="m1")   # mor → lands as delta files
+    keys = ["doc-00007", "doc-00011", "doc-00123", "doc-99999", "doc-nope"]
+    got = {r["doc_id"]: r.asDict() for r in t.lookup(keys).collect()}
+    want = {r["doc_id"]: r.asDict()
+            for r in t.read().where(F.col("doc_id").isin(keys)).collect()}
+    assert got == want
+    assert "doc-00011" not in got            # tombstoned
+    assert got["doc-00007"]["tokens"] == [7, 7, 7]  # delta wins the fold
+    assert got["doc-99999"]["source"] == "new"      # delta-only insert
+
+
+def test_lookup_prunes_to_few_files(spark, tmp_work):
+    """The point-read is manifest-pruned: a single key touches only its
+    bucket's files whose [min,max] footer range can hold it — not the
+    table's full file set (100 TB point-read invariant)."""
+    t = _big(spark, os.path.join(tmp_work, "t"), n=800)
+    total = sum(len(fl) for fl in t.snap["files"].values())
+    assert total >= 20  # the roll cap actually sharded each bucket
+    names = t._lookup_files(["doc-00123"], t.snap)
+    assert 1 <= len(names) <= 2, names
+    # and the pruned read still returns the row
+    got = t.lookup(["doc-00123"]).collect()
+    assert len(got) == 1 and got[0]["tokens"] == [123, 124]
+    # multi-key: files grow with keys, not with table size
+    names5 = t._lookup_files(
+        [f"doc-{i:05d}" for i in (1, 100, 200, 300, 400)], t.snap)
+    assert len(names5) <= 10
