@@ -107,14 +107,15 @@ def _group_shard_fixture(work: str):
     return bases, dirs
 
 
-def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
-                n_events: int, seed: int, merge_mode: str = "cow") -> DataFrame:
+def _replayed_table(spark: SparkSession, sf_dir: str, work_name: str,
+                    n_events: int, seed: int, merge_mode: str = "cow"):
     """Tokenize DISTRIBUTED (mapInArrow over the documents scan), land the
     base table as parquet, and seed the LakeTable with a plain schema'd
     parquet read — the driver JVM never materializes a row. Round 1 went
     through createDataFrame(pandas), which (a) collects the whole base to
     the driver and (b) crashes type verification on sessions without Arrow
     (the driver harness's session — CORRECTNESS_r01 `cdc_replay_state` ERR).
+    Returns (replayed LakeTable, sorted pyarrow base table).
     """
     import pyarrow.parquet as pq
 
@@ -138,7 +139,35 @@ def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
                              BASE_SCHEMA, key_col="doc_id", n_buckets=8,
                              df=base_df, merge_mode=merge_mode)
     replay(spark, log_dir, table.refresh())
-    return _canonical_state(table.refresh().read())
+    return table.refresh(), base
+
+
+def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
+                n_events: int, seed: int, merge_mode: str = "cow") -> DataFrame:
+    table, _ = _replayed_table(spark, sf_dir, work_name, n_events, seed,
+                               merge_mode)
+    return _canonical_state(table.read())
+
+
+def _lookup_probe(doc_ids: list[str]) -> list[str]:
+    """Deterministic point-lookup probe over the sorted base doc_ids —
+    ONE definition shared by the Spark query and the expected-state oracle.
+    Every 37th key (some updated, some deleted by the log) plus one key
+    that never existed."""
+    return doc_ids[::37] + ["doc-absent-00000"]
+
+
+def _run_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-pruned point read over the replayed lake table
+    (LakeTable.lookup: bucket hash + per-file footer [min,max] pruning,
+    merge-on-read fold for the probed buckets). Runs the same deterministic
+    replay as cdc_replay_state under merge_mode=auto, then serves the probe
+    keys — O(|keys|) files touched, the reference adapters' PK-keyed sink
+    access (client-adapter/rdb/.../RdbSyncService.java) as a lake read."""
+    table, base = _replayed_table(spark, sf_dir, "q_lookup",
+                                  n_events=2000, seed=7, merge_mode="auto")
+    probe = _lookup_probe(base.column("doc_id").to_pylist())
+    return _canonical_state(table.lookup(probe))
 
 
 # dim table for the maintained-view query (ES adapter index mapping analog);
@@ -681,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value-checks the MoR read path against the same sequential oracle
     q["cdc_replay_state_mor"] = lambda s, d: _run_replay(
         s, d, "q_replay_mor", n_events=2000, seed=7, merge_mode="mor")
+    q["cdc_point_lookup"] = _run_point_lookup
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
     q["cdc_mirror_state"] = _run_mirror
@@ -823,6 +853,30 @@ def _replay_state_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+def _point_lookup_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_point_lookup``: the sequential python oracle's
+    final state, filtered to the SAME deterministic probe keys the Spark
+    query serves via LakeTable.lookup (absent/deleted keys simply have no
+    expected row)."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_point_lookup")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=2000, seed=7), base=base)
+    state, cols = oracle_final_state(base, log_dir)
+    probe = set(_lookup_probe(base.column("doc_id").to_pylist()))
+    state = {k: v for k, v in state.items() if k in probe}
+    p = _write_expected_state(os.path.join(work, "expected.parquet"), state, cols)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 def _group_replay_state_oracle_sql() -> str:
     """DuckDB twin of ``cdc_group_replay_state`` via the merged-timeline
     python oracle over the identical 2-shard fixture."""
@@ -906,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         # identical spec/seed/base → identical expected state; only the
         # engine's commit path differs (CoW rewrite vs delta fold)
         o["cdc_replay_state_mor"] = o["cdc_replay_state"]
+        o["cdc_point_lookup"] = _point_lookup_oracle_sql()
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
