@@ -138,3 +138,84 @@ def test_changelog_under_merge_on_read(spark, tmp_work):
     assert primary.refresh().snap["deltas"]  # the MoR path actually ran
     _sync(consumer, primary.read_changes(0), "relay")
     assert _state(consumer) == _state(primary)
+
+
+def test_relay_loop_atomic_ack_and_resume(spark, tmp_work):
+    """The client loop (streaming/relay.py): the ack position rides the
+    downstream ledger, so a relay that 'crashes' (fresh LakeTable handles,
+    nothing passed between) resumes exactly where it acked; a drained feed
+    polls as a no-op; redelivered polls are absorbed."""
+    from canal_spark.streaming.relay import acked_version, relay_step, \
+        relay_until_idle
+
+    spec = CdcLogSpec(n_events=2400, seed=93, events_per_file=400,
+                      pk_change_frac=0.04)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+
+    # window 1: two primary commits, then one relay poll
+    replay(spark, log_dir, primary, files=segs[:2], batch_id="w1")
+    replay(spark, log_dir, primary.refresh(), files=segs[2:4], batch_id="w2")
+    r1 = relay_step(primary.refresh(), consumer)
+    assert r1["applied"] and r1["ack"] == primary.refresh().version
+
+    # crash: rebuild both handles from disk only
+    primary2 = LakeTable(spark, primary.path)
+    consumer2 = LakeTable(spark, consumer.path)
+    assert acked_version(consumer2) == r1["ack"]
+
+    # window 2: remaining commits, relay drains until idle
+    replay(spark, log_dir, primary2, files=segs[4:], batch_id="w3")
+    polls = relay_until_idle(primary2.refresh(), consumer2)
+    assert polls[-1]["applied"] is False          # drained
+    assert _state(consumer2) == _state(primary2)
+
+    # idle poll is a metadata no-op (no new downstream version)
+    v = consumer2.refresh().version
+    relay_step(primary2.refresh(), consumer2)
+    assert consumer2.refresh().version == v
+
+
+def test_relay_mirrors_ddl_and_truncate(spark, tmp_work):
+    """Upstream ALTER ADD COLUMN surfaces in the feed parquet; the relay
+    mirrors it into the downstream schema before applying, and a metadata
+    TRUNCATE fence (invisible to the row feed) propagates too."""
+    from canal_spark.streaming.relay import relay_step, relay_until_idle
+
+    ddl = [(1000, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=2000, seed=94, events_per_file=500,
+                      pk_change_frac=0.03, ddl_script=ddl)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, primary, batch_id="full")
+    relay_until_idle(primary.refresh(), consumer)
+
+    assert "lang" in consumer.refresh().logical_columns()
+    cols = BASE_COLS + ["lang"]
+    assert _state(consumer, cols) == _state(primary, cols)
+
+    # metadata truncate upstream → fence mirrored downstream on next poll
+    primary.truncate(lsn="zzz")
+    relay_step(primary.refresh(), consumer)
+    assert consumer.refresh().snap["truncate_lsn"] == "zzz"
+    assert consumer.read().count() == 0
+
+
+def test_relay_expire_acked_frees_feed(spark, tmp_work):
+    """Single-consumer mode: each successful poll drops the feed files it
+    just consumed (ring-buffer free-on-ack analog) without breaking later
+    polls or convergence."""
+    from canal_spark.streaming.relay import relay_step
+
+    spec = CdcLogSpec(n_events=1800, seed=95, events_per_file=300)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    half = len(segs) // 2
+    replay(spark, log_dir, primary, files=segs[:half], batch_id="w1")
+    r1 = relay_step(primary.refresh(), consumer, expire_acked=True)
+    assert r1["applied"]
+    assert primary.refresh().read_changes(0, r1["ack"]).count() == 0
+
+    replay(spark, log_dir, primary.refresh(), files=segs[half:], batch_id="w2")
+    r2 = relay_step(primary.refresh(), consumer, expire_acked=True)
+    assert r2["applied"]
+    assert _state(consumer) == _state(primary)
