@@ -499,14 +499,51 @@ class LakeTable:
         )
         chg.persist()
         try:
-            # ONE metadata action for touched-buckets + op counts (three
-            # separate actions re-ran the upstream collapse shuffle each);
-            # the observed max applied LSN rides the same aggregate so the
-            # watermark advances on DDL-free tail ranges too (hi=None —
-            # otherwise a plain stream never arms maintain())
-            bstats = (chg.groupBy("_b", "_c_op")
-                      .agg(F.count("*").alias("count"),
-                           F.max("_c_lsn").alias("mx")).collect())
+            # ONE metadata action for touched buckets + op counts + max
+            # applied LSN + the FILE-level pruning probe (Iceberg manifest
+            # lower/upper-bound analog): a data file is read+rewritten only
+            # if its [min,max] key range can contain a change key; every
+            # other file carries forward BY REFERENCE in the new snapshot.
+            # That is what keeps copy-on-write proportional to the batch at
+            # 10^10 rows (the reference's apply is batch-proportional JDBC
+            # DML, client-adapter/rdb/.../support/BatchExecutor.java). The
+            # probe is a broadcast left join riding the SAME pass over the
+            # persisted change set that computes the counts — a separate
+            # probe action re-scanned the batch once per commit (~0.9 s per
+            # 500k-key range at bench shape, the round-3 replay regression).
+            # Carried-forward file ranges from older versions can overlap a
+            # newer file's range, so one key may hit two candidate files;
+            # keys are unique post-collapse, so countDistinct keeps the op
+            # counts exact under that duplication. Broadcast size is
+            # manifest-bounded: n_buckets x max_files_per_bucket rows
+            # (compact() enforces the cap), ~100 bytes each.
+            ckey = F.col(f"_c_{key}")
+            mode = mode or self.snap.get("merge_mode", "cow")
+            fstats = self.snap.get("file_stats", {})
+            ranges = [] if mode == "mor" else [
+                (int(b), f,
+                 (fstats.get(f) or (None, None))[0],
+                 (fstats.get(f) or (None, None))[1])
+                for b, fl in self.snap["files"].items() for f in fl
+            ]
+            if ranges:
+                rdf = self.spark.createDataFrame(
+                    ranges, "b int, f string, lo string, hi string")
+                hit = (F.col("_b") == F.col("b")) & (
+                    F.col("lo").isNull()
+                    | (ckey.between(F.col("lo"), F.col("hi")))
+                )
+                probe = chg.join(F.broadcast(rdf), hit, "left")
+            else:
+                probe = chg.withColumn("f", F.lit(None).cast("string"))
+            bstats = (
+                probe.groupBy("_b", "_c_op")
+                .agg((F.countDistinct(ckey)
+                      + F.max(F.when(ckey.isNull(), 1).otherwise(0))
+                      ).alias("count"),
+                     F.max("_c_lsn").alias("mx"),
+                     F.collect_set("f").alias("fs"))
+                .collect())
             touched = sorted({r["_b"] for r in bstats})
             if not touched:  # empty batch: no data, no version churn
                 if batch_id is not None:
@@ -517,46 +554,12 @@ class LakeTable:
                         "buckets": 0, "upserts": 0, "deletes": 0}
             n_up = sum(r["count"] for r in bstats if r["_c_op"] == "U")
             n_del = sum(r["count"] for r in bstats if r["_c_op"] == "D")
-            ckey = F.col(f"_c_{key}")
-
-            # FILE-level pruning (Iceberg manifest lower/upper-bound analog):
-            # a data file is read+rewritten only if its [min,max] key range
-            # can contain a change key; every other file in the touched
-            # buckets carries forward BY REFERENCE in the new snapshot.
-            # This is what keeps copy-on-write proportional to the batch at
-            # 10^10 rows (the reference's apply is batch-proportional JDBC
-            # DML, client-adapter/rdb/.../support/BatchExecutor.java) — a
-            # bucket-granularity rewrite would touch the whole table once
-            # keys spread. The range probe is ONE broadcast join over the
-            # persisted change set; files-per-bucket stays bounded by
-            # compact() (streaming auto-maintenance), so the nested-loop
-            # term is |changes| x O(files-in-bucket), not |changes| x total.
-            fstats = self.snap.get("file_stats", {})
-            ranges = []
-            for b in touched:
-                for f in self.snap["files"].get(str(b), []):
-                    st = fstats.get(f)
-                    ranges.append((int(b), f,
-                                   st[0] if st else None,
-                                   st[1] if st else None))
-            bucket_files = len(ranges)
-            mode = mode or self.snap.get("merge_mode", "cow")
+            bucket_files = sum(
+                len(self.snap["files"].get(str(b), [])) for b in touched)
             if mode == "mor":
                 return self._delta_commit(chg, batch_id, max_lsn, bstats,
                                           touched, n_up, n_del, bucket_files)
-            if ranges:
-                rdf = self.spark.createDataFrame(
-                    ranges, "b int, f string, lo string, hi string")
-                hit = (F.col("_b") == F.col("b")) & (
-                    F.col("lo").isNull()
-                    | (ckey.between(F.col("lo"), F.col("hi")))
-                )
-                touched_files = sorted(
-                    r["f"] for r in chg.join(F.broadcast(rdf), hit)
-                    .select("f").distinct().collect()
-                )
-            else:
-                touched_files = []
+            touched_files = sorted({f for r in bstats for f in r["fs"]})
 
             if mode == "auto" and touched_files:
                 # rewrite amplification from manifest stats alone: rows the
