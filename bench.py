@@ -149,19 +149,19 @@ def main() -> None:
         with open(f, "rb") as fh:
             fh.read()
 
-    # adaptive best-of-N replays (3-6): the first heavy job in a fresh JVM
+    # adaptive best-of-N replays (4-6): the first heavy job in a fresh JVM
     # on this VM is reproducibly 2-30x slower than steady state (JIT + CPU
-    # steal; PERF.md "benchmark hygiene") and under host noise even the
-    # third run can still be inflated — measured 66s/48s/36s vs a true 5s
-    # steady state minutes apart. Stop once the two fastest runs agree
-    # within ~17.6% (s[0] >= 0.85*s[1]): that pair is the engine, the rest
-    # is the host.
+    # steal; PERF.md "benchmark hygiene") and even the third run is often
+    # still descending (measured 22.4/8.2/7.4 s stopping a rep short of a
+    # 6.4 s steady state). Minimum 4 timed reps, then stop once the two
+    # fastest agree within ~17.6% (s[0] >= 0.85*s[1]): that pair is the
+    # engine, the rest is the host.
     stat0 = _cpu_stat()
     reps = []
     for _ in range(6):
         reps.append(run_replay(spark, log_dir, base_path, table_dir,
                                n_buckets=cpus))
-        if len(reps) >= 3:
+        if len(reps) >= 4:
             s = sorted(x["sec"] for x in reps)
             if s[0] >= 0.85 * s[1]:
                 break
