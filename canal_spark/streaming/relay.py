@@ -34,9 +34,17 @@ _FEED_COLS = {"op", "lsn", "_commit_version"}
 
 
 def acked_version(dst: LakeTable, prefix: str = RELAY_PREFIX) -> int:
-    """The relay's resume position, recovered from the downstream ledger:
-    max upstream version among committed ``{prefix}/v{N}`` batch ids."""
-    mx = 0
+    """The relay's resume position: the durable ``relay_acks`` snapshot
+    field, max'd with a scan of the exactly-once ledger's ``{prefix}/v{N}``
+    batch ids. The ledger alone is NOT durable enough — it keeps the last
+    LEDGER_KEEP (256) batch ids, so a relay idle across >256 downstream
+    commits would lose its position and re-pull the whole feed from v0
+    (correct under the LSN fence, but O(feed) instead of O(batch)); the
+    snapshot field survives eviction, and taking the max keeps resume
+    correct if a crash lands between the data commit and the ack meta
+    commit (the reference persists its cursor after apply the same way,
+    meta/.../FileMixedMetaManager.java)."""
+    mx = int(dst.snap.get("relay_acks", {}).get(prefix, 0))
     for b in dst.snap.get("applied_batches", []):
         if b.startswith(f"{prefix}/v"):
             try:
@@ -44,6 +52,14 @@ def acked_version(dst: LakeTable, prefix: str = RELAY_PREFIX) -> int:
             except ValueError:
                 pass
     return mx
+
+
+def _record_ack(dst: LakeTable, prefix: str, head: int) -> None:
+    """Advance the durable ack (monotonic; one metadata-only commit)."""
+    acks = dict(dst.snap.get("relay_acks", {}))
+    if int(acks.get(prefix, 0)) < head:
+        acks[prefix] = head
+        dst._commit_meta(relay_acks=acks)
 
 
 def relay_step(src: LakeTable, dst: LakeTable,
@@ -83,6 +99,7 @@ def relay_step(src: LakeTable, dst: LakeTable,
             dst.alter_add_column(f.name, f.dataType)
     net = collapse_lww(feed.drop("_commit_version"), key=dst.key_col)
     res = dst.merge_apply(net, batch_id=f"{prefix}/v{head:08d}")
+    _record_ack(dst, prefix, head)
     if expire_acked and not res.get("skipped"):
         src.expire_changelog(upto_version=head)
     return {"applied": not res.get("skipped", False), "ack": head,

@@ -219,3 +219,44 @@ def test_relay_expire_acked_frees_feed(spark, tmp_work):
     r2 = relay_step(primary.refresh(), consumer, expire_acked=True)
     assert r2["applied"]
     assert _state(consumer) == _state(primary)
+
+
+def test_relay_ack_survives_ledger_eviction(spark, tmp_work):
+    """The exactly-once ledger keeps only LEDGER_KEEP batch ids; a relay
+    idle across more downstream commits than that must NOT lose its ack
+    and re-pull the feed from v0 — the durable ``relay_acks`` snapshot
+    field carries the position past eviction."""
+    import canal_spark.table.lake as lake
+    from canal_spark.streaming.relay import acked_version, relay_step
+
+    spec = CdcLogSpec(n_events=1200, seed=96, events_per_file=300)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    replay(spark, log_dir, primary, files=segs[:2], batch_id="w1")
+    r1 = relay_step(primary.refresh(), consumer)
+    assert r1["applied"]
+    ack1 = acked_version(consumer.refresh())
+    assert ack1 == r1["ack"] > 0
+
+    # flood the downstream ledger until the relay's batch id is evicted
+    orig_keep = lake.LEDGER_KEEP
+    lake.LEDGER_KEEP = 8
+    try:
+        for i in range(10):
+            consumer.refresh()._commit_meta(
+                applied_batches=lake._ledger_add(
+                    consumer.snap["applied_batches"], f"other-{i}"))
+        consumer2 = LakeTable(spark, consumer.path)
+        assert not any(b.startswith("relay/")
+                       for b in consumer2.snap["applied_batches"])
+        # durable ack still knows the position
+        assert acked_version(consumer2) == ack1
+
+        # and the next poll pulls only the NEW window, not the whole feed
+        replay(spark, log_dir, primary.refresh(), files=segs[2:],
+               batch_id="w2")
+        r2 = relay_step(primary.refresh(), consumer2)
+        assert r2["applied"]
+        assert _state(consumer2) == _state(primary)
+    finally:
+        lake.LEDGER_KEEP = orig_keep
