@@ -74,36 +74,48 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle string).
+    """Distinct word n-gram shingles per doc: (id, shingles array).
 
     Built with JVM higher-order functions (transform over a sequence of
-    offsets + slice + array_join) — no UDF. Two measured 2× pitfalls are
-    deliberately engineered around (the shingle pass dominates every dedup
-    operator at corpus scale):
+    offsets + slice + array_join) — no UDF. Measured pitfalls engineered
+    around (the shingle pass dominates every dedup operator at corpus
+    scale):
 
-    - the word list lands in a projected column first — a when() guard
-      around the transform re-evaluated the whole split per branch
-      reference (no common-subexpression elimination across CaseWhen);
-      the < n-words guard is instead an index list of provably
-      non-negative length (slice of a 1-based sequence), codegen-friendly;
+    - the < n-words guard is an index list of provably non-negative length
+      (slice of a 1-based sequence), not a when() branch — CaseWhen has no
+      common-subexpression elimination and re-evaluated the whole split
+      per branch reference (2×);
     - the split runs straight on lower(trim(text)) — collapsing runs of
       whitespace first (canonical_text) is redundant ahead of a ``\\s+``
       split and doubled the regex work. Shingle STRINGS are identical
       either way (words re-join with single spaces), so the DuckDB oracle
-      twins, which split the canonical form, still match value-for-value.
+      twins, which split the canonical form, still match value-for-value;
+    - hot-path consumers must NOT explode the aliased ``shingles`` column
+      this returns — use ``_exploded_hashes`` (inline explode), see
+      _shingles_expr (4-8×).
     """
-    w0 = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                  lambda x: x != "")
-    wdf = df.select(F.col(id_col).alias("id"), w0.alias("w"))
-    w = F.col("w")
+    return df.select(F.col(id_col).alias("id"),
+                     _shingles_expr(text_col, n).alias("shingles"))
+
+
+def _shingles_expr(text_col: str, n: int):
+    """The shingle list as a single Column EXPRESSION (not a projected
+    column). Callers that explode it must do so INLINE in one select:
+    exploding an *aliased* complex column lets InferFiltersFromGenerate
+    substitute the whole expression into an inferred ``size(...) > 0``
+    filter and push it below the spread() Exchange — the entire shingle
+    transform then evaluates TWICE, once single-partition (measured 4-8×
+    on the sf0.1 corpus: 4.2 s vs 0.6 s for the exploded stage). Inline
+    generator children dodge the rule (PERF.md #15)."""
+    w = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda x: x != "")
     if n == 1:
-        return wdf.select("id", F.array_distinct(w).alias("shingles"))
+        return F.array_distinct(w)
     cnt = F.greatest(F.size(w) - (n - 1), F.lit(0))
     idx = F.slice(F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))), F.lit(1), cnt)
-    sh = F.array_distinct(
+    return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
     )
-    return wdf.select("id", sh.alias("shingles"))
 
 
 _WORDS_SQL = (r"list_filter(regexp_split_to_array(" + CANON_SQL +
@@ -122,11 +134,13 @@ def word_shingles_sql(n: int = 3) -> str:
 
 def _exploded_hashes(df: DataFrame, id_col: str, text_col: str,
                      n: int) -> DataFrame:
-    """(id, h): one 60-bit md5-derived hash per distinct shingle per doc."""
-    sh = word_shingles(spread(df), id_col, text_col, n)
-    return sh.select("id", F.explode("shingles").alias("s")).select(
-        "id", hashing.h60(F.col("s")).alias("h")
-    )
+    """(id, h): one 60-bit md5-derived hash per distinct shingle per doc.
+    The shingle expression explodes INLINE — see _shingles_expr on why the
+    aliased-column form costs 4-8× here."""
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles_expr(text_col, n)).alias("s"),
+    ).select("id", hashing.h60(F.col("s")).alias("h"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
