@@ -83,6 +83,20 @@ def main() -> int:
     check("backfill_pushdown", relational.backfill_snapshot(orders),
           r"PushedFilters: \[IsNotNull\(o_totalprice\), GreaterThan\(o_totalprice")
 
+    # 6. the exploded-shingle stage carries NO inferred size(...)>0 filter
+    # duplicating the shingle transform below the Exchange (PERF.md #15 —
+    # InferFiltersFromGenerate fires on aliased generator children; the
+    # inline form must stay clean: Scan → Exchange → Generate, the one
+    # "transform(" in the plan being the Generate's own child)
+    from canal_spark.functions.dedup import _exploded_hashes
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ex_plan = plan_of(_exploded_hashes(docs, "doc_id", "text", 3))
+    out_lines.append(f"===== exploded_shingles =====\n{ex_plan}\n")
+    checks.append(("exploded_shingles: no duplicated transform in a Filter",
+                   len(re.findall(r"transform\(", ex_plan)) <= 2
+                   and "Condition : (size(transform" not in ex_plan,
+                   ex_plan))
+
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
 
