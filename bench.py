@@ -136,7 +136,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     log_dir, base_path = ensure_fixture(sf_dir, n_events)
-    table_dir = os.path.join(_REPO, ".work", "bench_table")
+    # keyed by sf+cores so concurrent validations at other SFs can't rmtree
+    # each other's live table mid-replay
+    table_dir = os.path.join(
+        _REPO, ".work",
+        f"bench_table_{os.path.basename(sf_dir.rstrip('/'))}-{cpus}")
 
     def t(name):
         return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -148,6 +152,21 @@ def main() -> None:
     for f in glob.glob(os.path.join(log_dir, "*.parquet")) + [base_path]:
         with open(f, "rb") as fh:
             fh.read()
+
+    def cpu_canary() -> float:
+        """Fixed pure-CPU JVM job (no input, no shuffle): a machine-speed
+        canary. /proc/stat steal misses co-tenant memory-bandwidth and
+        scheduler degradation (measured: every query 1.5-2x slow in a
+        window stamping only 1.1% steal); an inflated canary flags those
+        windows. Quiet-host reference ≈0.4-0.6 s at 32 cores."""
+        t0 = time.time()
+        # high-32 shift keeps the ANSI sum below 2^62 for 1e9 rows
+        spark.range(0, 1_000_000_000, 1, cpus).select(
+            F.sum(F.shiftrightunsigned(F.xxhash64("id"), 32))).collect()
+        return round(time.time() - t0, 3)
+
+    cpu_canary()                       # JIT warm
+    canary_pre = cpu_canary()
 
     # adaptive best-of-N replays (4-6): the first heavy job in a fresh JVM
     # on this VM is reproducibly 2-30x slower than steady state (JIT + CPU
@@ -183,6 +202,7 @@ def main() -> None:
         t("embeddings"), t("embeddings").where(F.col("vec_id") < 8), k=5))
     timed("q_pricing", lambda: relational.pricing_summary(t("lineitem")))
 
+    canary_post = cpu_canary()
     stat1 = _cpu_stat()
     dt_total = stat1[2] - stat0[2]
     steal_pct = round(100.0 * (stat1[0] - stat0[0]) / dt_total, 2) if dt_total else 0.0
@@ -200,6 +220,10 @@ def main() -> None:
         "replay_runs_sec": [round(r["sec"], 3) for r in reps],
         "host_steal_pct": steal_pct,    # co-tenant CPU noise during the bench
         "host_iowait_pct": iowait_pct,  # shared virtio disk contention
+        # fixed pure-CPU JVM job before/after the timed block; quiet-host
+        # reference ~0.4-0.6 s — inflated values flag co-tenant degradation
+        # (memory bandwidth, scheduler) that steal% misses
+        "cpu_canary_sec": [canary_pre, canary_post],
         "parallelism": cpus,
     }))
 
