@@ -57,12 +57,15 @@ class StartPosition:
     start_ts: datetime | None = None
     binlog_file: str | None = None
     binlog_pos: int | None = None
+    gtid: int | None = None
 
     def predicate(self) -> Column:
         """Row-level boundary filter (pushes down to parquet row groups)."""
         p = F.lit(True)
         if self.start_ts is not None:
             p = p & (F.col("execute_ts") >= F.lit(self.start_ts))
+        if self.gtid is not None:
+            p = p & (F.col("gtid_seq") >= self.gtid)
         if self.binlog_file is not None:
             after_file = F.col("binlog_file") > self.binlog_file
             in_file = F.col("binlog_file") == self.binlog_file
@@ -113,14 +116,22 @@ def segment_stats(log_dir: str) -> list[SegmentStats]:
 def find_start_position(log_dir: str,
                         timestamp: datetime | None = None,
                         binlog_file: str | None = None,
-                        binlog_pos: int | None = None) -> StartPosition:
-    """Resolve a start position from a timestamp OR a (file, pos) cursor.
+                        binlog_pos: int | None = None,
+                        gtid: int | None = None) -> StartPosition:
+    """Resolve a start position from a timestamp, a (file, pos) cursor, OR
+    a GTID sequence number.
 
     ``timestamp``: consumption starts at the first event with
     execute_ts ≥ timestamp (findByStartTimeStamp analog). Naive datetimes
     are taken as UTC (the log's clock).
     ``binlog_file``/``binlog_pos``: a configured EntryPosition start.
-    With neither, every segment is included (full replay).
+    ``gtid``: consumption starts at the first event with gtid_seq ≥ gtid —
+    the reference's GTID-mode subscription start (EntryPosition carries a
+    gtid when ``canal.instance.gtidon`` is set; MysqlEventParser dumps from
+    a GTID set). Same two-level pruning: segments whose footer max_gtid
+    falls before the boundary never enter the scan, and the row predicate
+    pushes onto the gtid_seq column stats inside the boundary segment.
+    With no argument, every segment is included (full replay).
     """
     stats = segment_stats(log_dir)
     if timestamp is not None and timestamp.tzinfo is None:
@@ -130,8 +141,11 @@ def find_start_position(log_dir: str,
     for s in stats:
         if timestamp is not None and s.max_ts is not None and s.max_ts < timestamp:
             continue  # segment ends before the boundary: pruned entirely
+        if gtid is not None and s.max_gtid is not None and s.max_gtid < gtid:
+            continue
         if binlog_file is not None and s.binlog_file < binlog_file:
             continue
         files.append(s.file)
     return StartPosition(files=files, start_ts=timestamp,
-                         binlog_file=binlog_file, binlog_pos=binlog_pos)
+                         binlog_file=binlog_file, binlog_pos=binlog_pos,
+                         gtid=gtid)

@@ -247,6 +247,20 @@ def test_start_position_resolution(spark, tmp_work):
     replay(spark, log_dir, table2.refresh(), start=sp2)
     _check(spark, table2.refresh(), base, log_dir)
 
+    # --- GTID start (gtid-mode subscription): prune by footer max_gtid,
+    # row-fence by gtid_seq, land in the oracle state from a prefix seed
+    table3 = LakeTable.create(
+        spark, os.path.join(tmp_work, "tokseq3"), TOKSEQ_SCHEMA, n_buckets=8,
+        df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
+    replay(spark, log_dir, table3, files=[s.file for s in stats[:3]])
+    boundary_gtid = stats[3].min_gtid
+    assert boundary_gtid is not None
+    sp_g = find_start_position(log_dir, gtid=boundary_gtid)
+    assert all(s.file in sp_g.files for s in stats[3:])
+    assert stats[0].file not in sp_g.files
+    replay(spark, log_dir, table3.refresh(), start=sp_g)
+    _check(spark, table3.refresh(), base, log_dir)
+
     # --- a start past the end of the log is a clean no-op
     import datetime
     future = datetime.datetime(2100, 1, 1, tzinfo=datetime.timezone.utc)
@@ -255,6 +269,8 @@ def test_start_position_resolution(spark, tmp_work):
     v = table.refresh().version
     st = replay(spark, log_dir, table, start=sp3)
     assert st.ranges == 0 and table.refresh().version == v
+    sp4 = find_start_position(log_dir, gtid=(stats[-1].max_gtid or 0) + 1)
+    assert sp4.files == []
 
 
 def test_group_replay_batch(spark, tmp_work):
