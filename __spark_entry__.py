@@ -143,9 +143,17 @@ def _replayed_table(spark: SparkSession, sf_dir: str, work_name: str,
 
 
 def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
-                n_events: int, seed: int, merge_mode: str = "cow") -> DataFrame:
+                n_events: int, seed: int, merge_mode: str = "cow",
+                maintain: bool = False) -> DataFrame:
     table, _ = _replayed_table(spark, sf_dir, work_name, n_events, seed,
                                merge_mode)
+    if maintain:
+        # full maintenance pass (compact every multi-file bucket, fold MoR
+        # delta chains, purge fenced tombstones, expire all but the last
+        # snapshot) — the returned state must be INVARIANT, which is why
+        # cdc_maintain_state shares cdc_replay_state's expected-state oracle
+        table.maintain(max_files_per_bucket=1, snapshots_keep=1)
+        table = table.refresh()
     return _canonical_state(table.read())
 
 
@@ -710,6 +718,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value-checks the MoR read path against the same sequential oracle
     q["cdc_replay_state_mor"] = lambda s, d: _run_replay(
         s, d, "q_replay_mor", n_events=2000, seed=7, merge_mode="mor")
+    # same deterministic log forced through merge-on-read, then a FULL
+    # maintenance pass (compaction folds delta chains, tombstone purge,
+    # snapshot expiry) — the state must be invariant under maintenance,
+    # so it value-checks against the SAME expected-state oracle
+    q["cdc_maintain_state"] = lambda s, d: _run_replay(
+        s, d, "q_maintain", n_events=2000, seed=7, merge_mode="mor",
+        maintain=True)
     q["cdc_point_lookup"] = _run_point_lookup
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
@@ -960,6 +975,8 @@ def oracle_sql() -> dict[str, str]:
         # identical spec/seed/base → identical expected state; only the
         # engine's commit path differs (CoW rewrite vs delta fold)
         o["cdc_replay_state_mor"] = o["cdc_replay_state"]
+        # maintenance must not change the state: same oracle again
+        o["cdc_maintain_state"] = o["cdc_replay_state"]
         o["cdc_point_lookup"] = _point_lookup_oracle_sql()
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
