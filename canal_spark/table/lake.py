@@ -500,49 +500,35 @@ class LakeTable:
         chg.persist()
         try:
             # ONE metadata action for touched buckets + op counts + max
-            # applied LSN + the FILE-level pruning probe (Iceberg manifest
-            # lower/upper-bound analog): a data file is read+rewritten only
-            # if its [min,max] key range can contain a change key; every
-            # other file carries forward BY REFERENCE in the new snapshot.
-            # That is what keeps copy-on-write proportional to the batch at
-            # 10^10 rows (the reference's apply is batch-proportional JDBC
-            # DML, client-adapter/rdb/.../support/BatchExecutor.java). The
-            # probe is a broadcast left join riding the SAME pass over the
-            # persisted change set that computes the counts — a separate
-            # probe action re-scanned the batch once per commit (~0.9 s per
-            # 500k-key range at bench shape, the round-3 replay regression).
-            # Carried-forward file ranges from older versions can overlap a
-            # newer file's range, so one key may hit two candidate files;
-            # keys are unique post-collapse, so countDistinct keeps the op
-            # counts exact under that duplication. Broadcast size is
-            # manifest-bounded: n_buckets x max_files_per_bucket rows
-            # (compact() enforces the cap), ~100 bytes each.
+            # applied LSN + the change-key HULL per bucket (min/max of the
+            # batch's keys — measured free next to the count aggregate).
+            # FILE-level pruning (Iceberg manifest lower/upper-bound
+            # analog) is then a driver-side interval test: a data file is
+            # read+rewritten only if its footer [min,max] key range
+            # intersects its bucket's change hull; every other file
+            # carries forward BY REFERENCE in the new snapshot. That keeps
+            # copy-on-write proportional to the batch at 10^10 rows (the
+            # reference's apply is batch-proportional JDBC DML,
+            # client-adapter/rdb/.../support/BatchExecutor.java).
+            # Precision: the hull over-selects a file that sits inside the
+            # batch's key span but holds no actual change key — the
+            # scattered-key shape, which is exactly where the auto
+            # merge-mode flips to an O(batch) delta commit anyway (the
+            # overestimate only flips it sooner, the safe direction). Two
+            # rejected designs, both measured slower: a separate exact
+            # probe action re-scanned the batch per commit (~0.9 s/range),
+            # and fusing the probe as a broadcast join into this aggregate
+            # paid ~0.5-0.7 s/commit for join duplication + countDistinct
+            # (PERF.md #14).
             ckey = F.col(f"_c_{key}")
             mode = mode or self.snap.get("merge_mode", "cow")
             fstats = self.snap.get("file_stats", {})
-            ranges = [] if mode == "mor" else [
-                (int(b), f,
-                 (fstats.get(f) or (None, None))[0],
-                 (fstats.get(f) or (None, None))[1])
-                for b, fl in self.snap["files"].items() for f in fl
-            ]
-            if ranges:
-                rdf = self.spark.createDataFrame(
-                    ranges, "b int, f string, lo string, hi string")
-                hit = (F.col("_b") == F.col("b")) & (
-                    F.col("lo").isNull()
-                    | (ckey.between(F.col("lo"), F.col("hi")))
-                )
-                probe = chg.join(F.broadcast(rdf), hit, "left")
-            else:
-                probe = chg.withColumn("f", F.lit(None).cast("string"))
             bstats = (
-                probe.groupBy("_b", "_c_op")
-                .agg((F.countDistinct(ckey)
-                      + F.max(F.when(ckey.isNull(), 1).otherwise(0))
-                      ).alias("count"),
+                chg.groupBy("_b", "_c_op")
+                .agg(F.count("*").alias("count"),
                      F.max("_c_lsn").alias("mx"),
-                     F.collect_set("f").alias("fs"))
+                     F.min(ckey).alias("klo"),
+                     F.max(ckey).alias("khi"))
                 .collect())
             touched = sorted({r["_b"] for r in bstats})
             if not touched:  # empty batch: no data, no version churn
@@ -559,7 +545,28 @@ class LakeTable:
             if mode == "mor":
                 return self._delta_commit(chg, batch_id, max_lsn, bstats,
                                           touched, n_up, n_del, bucket_files)
-            touched_files = sorted({f for r in bstats for f in r["fs"]})
+            # per-bucket change-key hull (None = match-all: a NULL-key row
+            # has no position in the range order, so its bucket keeps
+            # every file)
+            hull: dict[int, tuple | None] = {}
+            for r in bstats:
+                b = r["_b"]
+                if r["klo"] is None or r["khi"] is None:
+                    hull[b] = None
+                elif b not in hull:
+                    hull[b] = (r["klo"], r["khi"])
+                elif hull[b] is not None:
+                    lo, hi = hull[b]
+                    hull[b] = (min(lo, r["klo"]), max(hi, r["khi"]))
+            touched_files = []
+            for b in touched:
+                h = hull.get(b)
+                for f in self.snap["files"].get(str(b), []):
+                    st = fstats.get(f)
+                    if st is None or h is None or not (
+                            h[1] < st[0] or st[1] < h[0]):
+                        touched_files.append(f)
+            touched_files.sort()
 
             if mode == "auto" and touched_files:
                 # rewrite amplification from manifest stats alone: rows the
