@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from canal_spark.functions import cdc_demo, dedup, multimodal, relational, similarity, text
+from canal_spark.functions import (cdc_demo, curation, dedup, multimodal,
+                                   relational, similarity, text)
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _WORK = os.path.join(_REPO, ".work")
@@ -672,6 +673,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = lambda s, d: text.fingerprint(_table(s, d, "documents")).select(
         "doc_id", "fp_md5")
 
+    # --- corpus curation (documents table): packing plan over the BPE-ish
+    #     token counts, decontamination, mixture sampling, vocab stats
+    q["tok_pack_assign"] = lambda s, d: curation.pack_assignments(
+        text.token_count(_table(s, d, "documents")).select(
+            "doc_id", F.col("bpe_tokens").alias("n_tok")),
+        seq_len=2048)
+    q["doc_contamination"] = lambda s, d: curation.benchmark_contamination(
+        _table(s, d, "documents"), n=3, bench_mod=20)
+    q["mix_sample_counts"] = lambda s, d: curation.mixture_sample_counts(
+        _table(s, d, "documents"))
+    q["vocab_top_terms"] = lambda s, d: curation.vocab_top_terms(
+        _table(s, d, "documents"), k=100)
+
     # --- deduplication (documents table)
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_table(s, d, "documents"))
     q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(
@@ -924,6 +938,12 @@ def oracle_sql() -> dict[str, str]:
     o["doc_fingerprint"] = f"""
         SELECT doc_id, md5({_CANON_SQL}) AS fp_md5 FROM documents
     """
+
+    o["tok_pack_assign"] = curation.pack_assignments_sql(seq_len=2048)
+    o["doc_contamination"] = curation.benchmark_contamination_sql(
+        n=3, bench_mod=20)
+    o["mix_sample_counts"] = curation.mixture_sample_sql()
+    o["vocab_top_terms"] = curation.vocab_top_terms_sql(k=100)
 
     o["dedup_exact"] = f"""
         SELECT fp_md5, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
