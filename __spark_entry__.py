@@ -381,6 +381,103 @@ def _fingerprint_index_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+PACK_INDEX_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("shard", T.StringType()),
+    T.StructField("n_tok", T.LongType()),
+    T.StructField("local_off", T.LongType()),
+    T.StructField("pack_first", T.LongType()),
+    T.StructField("pack_last", T.LongType()),
+])
+_PACK_SEQ_LEN = 256
+_PACK_SHARD_CHARS = 6
+
+
+def _run_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained sequence-packing index (PackIndexView):
+    shard-scoped concat-and-chunk training-sequence assignments stay current
+    under the CDC replay at touched-shards cost per range — never a corpus
+    re-pack. Returns the index's final state (all scalar columns)."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import PackIndexView, pack_index_frame
+
+    work = os.path.join(_WORK, "q_pack_index")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=31), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    seed = pack_index_frame(base_df.select("doc_id", "n_tok"),
+                            _PACK_SEQ_LEN, shard_chars=_PACK_SHARD_CHARS)
+    vt = LakeTable.create(spark, os.path.join(work, "pack_idx"),
+                          PACK_INDEX_SCHEMA, n_buckets=8, df=seed)
+    replay(spark, log_dir, table.refresh(),
+           views=[PackIndexView(vt, _PACK_SEQ_LEN,
+                                shard_chars=_PACK_SHARD_CHARS)])
+    return vt.refresh().read().select(*[f.name for f in PACK_INDEX_SCHEMA])
+
+
+def _pack_index_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_pack_index``: sequential python fold to the
+    final corpus → python per-shard concat-and-chunk packing (independent
+    of every Spark kernel)."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_pack_index")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=31), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    shards: dict = defaultdict(list)
+    for doc_id, row in state.items():
+        toks = row.get("tokens")
+        nt = len(toks) if toks is not None else row.get("n_tok")
+        shards[doc_id[:_PACK_SHARD_CHARS]].append((doc_id, nt))
+    recs = []
+    for sh, docs_in in shards.items():
+        off = 0
+        for doc_id, nt in sorted(docs_in):
+            if nt and nt > 0:
+                recs.append((doc_id, sh, nt, off, off // _PACK_SEQ_LEN,
+                             (off + nt - 1) // _PACK_SEQ_LEN))
+                off += nt
+            else:
+                recs.append((doc_id, sh,
+                             None if nt is None else nt, None, None, None))
+    recs.sort()
+    data = {
+        "doc_id": pa.array([r[0] for r in recs], pa.string()),
+        "shard": pa.array([r[1] for r in recs], pa.string()),
+        "n_tok": pa.array([r[2] for r in recs], pa.int64()),
+        "local_off": pa.array([r[3] for r in recs], pa.int64()),
+        "pack_first": pa.array([r[4] for r in recs], pa.int64()),
+        "pack_last": pa.array([r[5] for r in recs], pa.int64()),
+    }
+    os.makedirs(work, exist_ok=True)
+    p = os.path.join(work, "expected.parquet")
+    pq.write_table(pa.table(data), p)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 BAND_INDEX_SCHEMA = T.StructType([
     T.StructField("band_key", T.StringType()),
     T.StructField("doc_id", T.StringType()),
@@ -745,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_mirror_state"] = _run_mirror
     q["cdc_fingerprint_index"] = _run_fingerprint_index
     q["cdc_minhash_index"] = _run_minhash_index
+    q["cdc_pack_index"] = _run_pack_index
     q["cdc_changelog_feed"] = _run_changelog_feed
     return q
 
@@ -1003,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
         o["cdc_minhash_index"] = _minhash_index_oracle_sql()
+        o["cdc_pack_index"] = _pack_index_oracle_sql()
         o["cdc_changelog_feed"] = _changelog_feed_oracle_sql()
     except Exception:
         pass

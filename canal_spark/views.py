@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from canal_spark.table.lake import LakeTable
@@ -206,6 +206,187 @@ def fingerprint_index_view(view_table: LakeTable) -> TransformView:
         input_types={"tokens": T.ArrayType(T.IntegerType()),
                      "n_tok": T.IntegerType(),
                      "source": T.StringType()})
+
+
+PACK_INDEX_COLS = ["shard", "n_tok", "local_off", "pack_first", "pack_last"]
+
+
+def _pack_cols(rows: DataFrame, seq_len: int, key: str) -> DataFrame:
+    """Per-shard prefix sum + pack range over (key, shard, n_tok) rows.
+    Zero/NULL-token docs keep their row (key-set stability under the CDC
+    stream) but occupy no pack — NULL pack range, excluded from offsets."""
+    seq = int(seq_len)
+    nt = F.coalesce(F.col("n_tok"), F.lit(0))
+    w = (Window.partitionBy("shard").orderBy(key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_off = rows.withColumn("local_off", F.sum(nt).over(w) - nt)
+    has = nt > 0
+    return (
+        with_off
+        .withColumn("pack_first",
+                    F.when(has, F.expr(f"local_off div {seq}")))
+        .withColumn(
+            "pack_last",
+            F.when(has, F.expr(f"(local_off + n_tok - 1) div {seq}")))
+        .withColumn("local_off", F.when(has, F.col("local_off")))
+    )
+
+
+def pack_index_frame(df: DataFrame, seq_len: int, shard_chars: int = 4,
+                     id_col: str = "doc_id",
+                     ntok_col: str = "n_tok") -> DataFrame:
+    """Batch computation of the full pack index (seed / backfill / scratch
+    recompute): shard-scoped concat-and-chunk packing of the corpus. The
+    per-shard window is the same kernel PackIndexView maintains
+    incrementally, so `view state == pack_index_frame(final corpus)` is the
+    view's correctness invariant."""
+    rows = df.select(
+        F.col(id_col),
+        F.substring(F.col(id_col).cast("string"), 1, int(shard_chars))
+        .alias("shard"),
+        F.col(ntok_col).cast("long").alias("n_tok"),
+    )
+    return _pack_cols(rows, seq_len, id_col).select(
+        id_col, *PACK_INDEX_COLS)
+
+
+class PackIndexView:
+    """An incrementally-maintained sequence-packing index over the CDC'd
+    token corpus — training-sequence assignments that stay current as docs
+    arrive, change and disappear.
+
+    GLOBAL concat-and-chunk packing (functions/curation.pack_assignments)
+    is order-dependent: one inserted doc shifts every later offset, so a
+    maintained global index would re-pack the world per batch. Production
+    pipelines therefore pack within bounded SCOPES; here the scope is the
+    key-prefix shard (``shard_chars`` leading chars of the doc id — the
+    same order-consistent sharding as the batch operator), and a pack is
+    identified by (shard, local pack index). A changed doc re-packs exactly
+    its shard: per-batch cost is touched_shards × shard_size — bounded by
+    data layout, independent of corpus size (the reference's apply-cost-
+    proportional-to-batch rule, client-adapter/rdb/.../BatchExecutor.java,
+    applied to a derived index).
+
+    Mechanics per batch (net changes, one row per key):
+    - touched shards = distinct shards of the batch's keys (metadata-sized
+      collect, like the merge planner's bucket stats);
+    - the post-batch population of those shards = current live index rows
+      (batch keys anti-joined out) ∪ batch upserts — the index itself
+      carries n_tok, so the main table is never re-read;
+    - one per-shard window re-derives offsets/pack ranges; carried rows are
+      LSN-stamped just above their own ``_source_lsn`` (``lsn || '~p'``,
+      the JoinedView.apply_dim_changes fence pattern) so the re-pack wins
+      against the row it read but never against a later real event;
+    - deletes tombstone the doc's row and (being in the batch) already
+      force their shard's re-pack.
+
+    Exactly-once rides the view table's ledger + per-key LSN fence;
+    TRUNCATE propagates via the pipeline's ``v.table.truncate()`` hook like
+    every view. The index scan is narrow (6 int/string columns) and the
+    touched-shard IN-filter pushes to parquet — at 10^10 docs the index is
+    ~3 orders smaller than the corpus it indexes.
+    """
+
+    def __init__(self, view_table: LakeTable, seq_len: int,
+                 shard_chars: int = 4, doc_col: str = "doc_id",
+                 tokens_col: str = "tokens", ntok_col: str = "n_tok"):
+        self.table = view_table
+        self.seq_len = int(seq_len)
+        self.shard_chars = int(shard_chars)
+        self.doc_col = doc_col
+        self.tokens_col = tokens_col
+        self.ntok_col = ntok_col
+
+    def _ntok(self, df: DataFrame):
+        """n_tok from the batch: the declared count, else the token array's
+        size (count and array can disagree only if the upstream lied — the
+        array is the ground truth the packs address into)."""
+        have = set(df.columns)
+        cands = []
+        if self.tokens_col in have:
+            cands.append(F.size(F.col(self.tokens_col)))
+        if self.ntok_col in have:
+            cands.append(F.col(self.ntok_col))
+        cands.append(F.lit(None))
+        return F.coalesce(*[c.cast("long") for c in cands])
+
+    def apply(self, net_changes: DataFrame, batch_id: str | None = None,
+              max_lsn: str | None = None) -> dict:
+        if batch_id is not None and self.table.is_applied(batch_id):
+            return {"skipped": True}
+        key = self.doc_col
+        shard = F.substring(F.col(key).cast("string"), 1, self.shard_chars)
+        batch = net_changes.select(
+            F.col(key), shard.alias("shard"),
+            self._ntok(net_changes).alias("n_tok"), "op", "lsn")
+        touched = [r[0] for r in batch.select("shard").distinct().collect()]
+        if not touched:
+            return self.table.merge_apply(
+                batch.select(key, *PACK_INDEX_COLS[:1],
+                             F.lit(None).cast("long").alias("n_tok"),
+                             F.lit(None).cast("long").alias("local_off"),
+                             F.lit(None).cast("long").alias("pack_first"),
+                             F.lit(None).cast("long").alias("pack_last"),
+                             "op", "lsn"),
+                batch_id=batch_id, max_lsn=max_lsn)
+
+        from canal_spark.lsn import ZERO_LSN
+
+        # The re-pack population must be the POST-merge winners, not
+        # (current ∪ batch): a re-delivered batch row loses its per-key LSN
+        # fence in the merge, but if it entered the population it would
+        # still inflate its NEIGHBOURS' offsets (observed with a mid-log
+        # TRUNCATE: re-delivered pre-truncate rows resurrected into the
+        # sum). So apply the merge's own fence here — full-outer join the
+        # stored rows (INCLUDING tombstones, which fence resurrections)
+        # against the batch; strict > keeps ties with the store, exactly
+        # like merge_apply.
+        floor_lsn = F.coalesce(
+            F.nullif(F.col("_source_lsn"), F.lit("")), F.lit(ZERO_LSN))
+        st = (
+            self.table.read_raw()
+            .where(F.col("shard").isin(touched))
+            .select(F.col(key),
+                    F.col("shard").alias("_st_shard"),
+                    F.col("n_tok").alias("_st_ntok"),
+                    floor_lsn.alias("_st_lsn"),
+                    F.coalesce(F.col("_deleted"), F.lit(False)).alias("_st_del"))
+        )
+        bt = batch.select(key, F.col("shard").alias("_bt_shard"),
+                          F.col("n_tok").alias("_bt_ntok"), "op",
+                          F.col("lsn").alias("_bt_lsn"))
+        j = st.join(bt, key, "full_outer")
+        batch_wins = F.col("_bt_lsn").isNotNull() & (
+            F.col("_st_lsn").isNull() | (F.col("_bt_lsn") > F.col("_st_lsn")))
+        live = (
+            j.where(
+                (batch_wins & (F.col("op") == "U"))
+                | (~batch_wins & ~F.col("_st_del"))
+            )
+            .select(
+                F.col(key),
+                F.when(batch_wins, F.col("_bt_shard"))
+                .otherwise(F.col("_st_shard")).alias("shard"),
+                F.when(batch_wins, F.col("_bt_ntok"))
+                .otherwise(F.col("_st_ntok")).alias("n_tok"),
+                F.when(batch_wins, F.col("_bt_lsn"))
+                .otherwise(F.concat(F.col("_st_lsn"), F.lit("~p"))).alias("lsn"),
+            )
+            .withColumn("op", F.lit("U"))
+        )
+        packed = _pack_cols(live, self.seq_len, key).select(
+            key, *PACK_INDEX_COLS, "op", "lsn")
+        dels = j.where(batch_wins & (F.col("op") == "D")).select(
+            F.col(key),
+            F.lit(None).cast("string").alias("shard"),
+            F.lit(None).cast("long").alias("n_tok"),
+            F.lit(None).cast("long").alias("local_off"),
+            F.lit(None).cast("long").alias("pack_first"),
+            F.lit(None).cast("long").alias("pack_last"),
+            F.lit("D").alias("op"), F.col("_bt_lsn").alias("lsn"),
+        )
+        return self.table.merge_apply(packed.unionByName(dels),
+                                      batch_id=batch_id, max_lsn=max_lsn)
 
 
 class MinhashBandIndexView:

@@ -338,3 +338,138 @@ def test_minhash_band_index_view(spark, tmp_work):
     from_index = {(r["id_a"], r["id_b"])
                   for r in view.candidate_pairs().collect()}
     assert from_index == scratch
+
+
+# ---------------------------------------------------- PackIndexView
+
+PACK_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("shard", T.StringType()),
+    T.StructField("n_tok", T.LongType()),
+    T.StructField("local_off", T.LongType()),
+    T.StructField("pack_first", T.LongType()),
+    T.StructField("pack_last", T.LongType()),
+])
+PACK_COLS = [f.name for f in PACK_SCHEMA]
+SEQ_LEN = 64
+SHARD_CHARS = 6
+
+
+def _expected_pack(base, log_dir):
+    """Recompute-from-scratch: oracle final state -> python per-shard
+    concat-and-chunk packing (independent of every Spark kernel)."""
+    from collections import defaultdict
+
+    expected, _cols = oracle_final_state(base, log_dir)
+    shards = defaultdict(list)
+    for doc_id, row in expected.items():
+        toks = row.get("tokens")
+        nt = len(toks) if toks is not None else row.get("n_tok")
+        shards[doc_id[:SHARD_CHARS]].append((doc_id, nt))
+    out = {}
+    for sh, docs in shards.items():
+        off = 0
+        for doc_id, nt in sorted(docs):
+            if nt and nt > 0:
+                out[doc_id] = {
+                    "doc_id": doc_id, "shard": sh, "n_tok": nt,
+                    "local_off": off, "pack_first": off // SEQ_LEN,
+                    "pack_last": (off + nt - 1) // SEQ_LEN,
+                }
+                off += nt
+            else:
+                out[doc_id] = {
+                    "doc_id": doc_id, "shard": sh, "n_tok": nt,
+                    "local_off": None, "pack_first": None, "pack_last": None,
+                }
+    return out
+
+
+def _pack_setup(spark, tmp_work, spec, n_base=300):
+    from canal_spark.views import PackIndexView, pack_index_frame
+
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    seed = pack_index_frame(bdf.select("doc_id", "n_tok"), SEQ_LEN,
+                            shard_chars=SHARD_CHARS)
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "pack_idx"),
+                          PACK_SCHEMA, n_buckets=8, df=seed)
+    return base, log_dir, table, PackIndexView(vt, SEQ_LEN,
+                                               shard_chars=SHARD_CHARS)
+
+
+def _pack_state(view):
+    return {r["doc_id"]: {c: r[c] for c in PACK_COLS}
+            for r in view.table.refresh().read().collect()}
+
+
+def test_pack_index_matches_recompute(spark, tmp_work):
+    """Replay with the pack index attached == per-shard packing of the
+    final corpus from scratch — across inserts/updates/deletes/pk-changes
+    and a DDL-split range. Also cross-checked against the batch
+    pack_index_frame kernel over the final main-table state."""
+    from canal_spark.views import pack_index_frame
+
+    ddl = [(1500, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=3000, seed=61, events_per_file=1000,
+                      pk_change_frac=0.05, ddl_script=ddl)
+    base, log_dir, table, view = _pack_setup(spark, tmp_work, spec)
+    stats = replay(spark, log_dir, table, batch_id="full", views=[view])
+    assert stats.ddls == 1
+    exp = _expected_pack(base, log_dir)
+    assert_state_equal(_pack_state(view), exp, PACK_COLS)
+    # batch kernel over the final corpus agrees (shared-kernel sanity)
+    scratch = {
+        r["doc_id"]: {c: r[c] for c in PACK_COLS}
+        for r in pack_index_frame(
+            table.refresh().read().select(
+                "doc_id", F.size("tokens").alias("n_tok")),
+            SEQ_LEN, shard_chars=SHARD_CHARS).collect()
+    }
+    assert scratch == _pack_state(view)
+
+
+def test_pack_index_idempotent_redelivery(spark, tmp_work):
+    """Re-replaying the whole log without a ledger id leaves the index
+    unchanged (per-key LSN fence + the '~p' carried-row stamping must not
+    let a duplicate re-pack regress any row)."""
+    spec = CdcLogSpec(n_events=2000, seed=62, events_per_file=500)
+    base, log_dir, table, view = _pack_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _pack_state(view)
+    replay(spark, log_dir, table, views=[view])  # no ledger: fence only
+    assert _pack_state(view) == before
+    assert_state_equal(before, _expected_pack(base, log_dir), PACK_COLS)
+
+
+def test_pack_index_redelivery_across_truncate(spark, tmp_work):
+    """Regression: a re-delivered pre-TRUNCATE batch must not inflate
+    NEIGHBOUR offsets. Fence-losing batch rows may not enter the re-pack
+    population (the view applies the merge's own LSN fence before the
+    per-shard window; stored tombstones block resurrections)."""
+    ddl = [(1000, "TRUNCATE TABLE train.tokseq")]
+    spec = CdcLogSpec(n_events=2000, seed=64, events_per_file=500,
+                      ddl_script=ddl)
+    base, log_dir, table, view = _pack_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _pack_state(view)
+    assert_state_equal(before, _expected_pack(base, log_dir), PACK_COLS)
+    replay(spark, log_dir, table.refresh(), views=[view])  # duplicate
+    assert _pack_state(view) == before
+
+
+def test_pack_index_truncate_propagates(spark, tmp_work):
+    """TRUNCATE empties the index; post-truncate DML rebuilds the packing
+    for exactly the surviving docs."""
+    ddl = [(1000, "TRUNCATE TABLE train.tokseq")]
+    spec = CdcLogSpec(n_events=2000, seed=63, ddl_script=ddl)
+    base, log_dir, table, view = _pack_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, views=[view])
+    exp = _expected_pack(base, log_dir)
+    assert_state_equal(_pack_state(view), exp, PACK_COLS)
+    main_ids = {r["doc_id"] for r in table.read().select("doc_id").collect()}
+    assert set(exp) == main_ids
