@@ -97,6 +97,26 @@ def main() -> int:
                    and "Condition : (size(transform" not in ex_plan,
                    ex_plan))
 
+    # 7. sequence packing: the prefix sum must be sharded — ONE hash
+    # exchange on the shard key and NO single-partition window (a global
+    # Window.orderBy plans `Exchange SinglePartition` = one reducer)
+    from canal_spark.functions import curation
+    pack = curation.pack_assignments(
+        docs.select("doc_id", F.length("text").alias("n_tok")), 2048)
+    pack_plan = plan_of(pack)
+    out_lines.append(f"===== pack_assignments =====\n{pack_plan}\n")
+    checks.append(("pack_assignments: window sharded on _shard",
+                   re.search(r"hashpartitioning\(_shard", pack_plan) is not None,
+                   pack_plan))
+    checks.append(("pack_assignments: no single-partition exchange",
+                   "Exchange SinglePartition" not in pack_plan, pack_plan))
+
+    # 8. contamination: the benchmark n-gram set broadcasts; the doc side
+    # is one hash aggregate (never a corpus x corpus join)
+    check("contamination_broadcast_bench",
+          curation.benchmark_contamination(docs, n=3, bench_mod=20),
+          r"BroadcastExchange", r"HashAggregate")
+
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
 
