@@ -214,3 +214,63 @@ def test_streaming_truncate_fence(spark, tmp_work):
            files=["mysql-bin.000001.parquet"], batch_id="stale-redelivery")
     state2 = rows_to_state(table.read().collect(), table.logical_columns())
     assert state == state2
+
+
+def test_streaming_pack_index_kill_resume(spark, tmp_work):
+    """PackIndexView under Structured Streaming: txn-aligned micro-batches
+    re-pack touched shards as they land; a hard kill + checkpoint resume
+    converges the index to the per-shard packing of the final corpus."""
+    from collections import defaultdict
+
+    from canal_spark.views import PackIndexView, pack_index_frame
+
+    SEQ, K = 64, 6
+    spec = CdcLogSpec(n_events=2500, seed=26, events_per_file=400,
+                      pk_change_frac=0.03)
+    base, typed_dir, wire_dir, table = _setup(spark, tmp_work, spec)
+    pack_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("shard", T.StringType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("local_off", T.LongType()),
+        T.StructField("pack_first", T.LongType()),
+        T.StructField("pack_last", T.LongType()),
+    ])
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    vt = LakeTable.create(
+        spark, os.path.join(tmp_work, "pack_idx"), pack_schema, n_buckets=8,
+        df=pack_index_frame(bdf.select("doc_id", "n_tok"), SEQ, shard_chars=K))
+    ckpt = os.path.join(tmp_work, "ckpt")
+    kw = dict(max_files_per_trigger=1,
+              views=[PackIndexView(vt, SEQ, shard_chars=K)])
+
+    sr1 = StreamingReplay(spark, wire_dir, table, ckpt, **kw)
+    q = sr1.start(available_now=True)
+    while len(sr1.metrics.read()) < 3:
+        q.awaitTermination(0.2)
+    q.stop()  # hard kill mid-stream
+
+    sr2 = StreamingReplay(spark, wire_dir, table.refresh(), ckpt, **kw)
+    sr2.run_to_completion()
+    sr2.flush_tail()
+    _check(table.refresh(), base, typed_dir)
+
+    expected, _cols = oracle_final_state(base, typed_dir)
+    shards = defaultdict(list)
+    for doc_id, row in expected.items():
+        toks = row.get("tokens")
+        nt = len(toks) if toks is not None else row.get("n_tok")
+        shards[doc_id[:K]].append((doc_id, nt))
+    exp = {}
+    for sh, docs in shards.items():
+        off = 0
+        for doc_id, nt in sorted(docs):
+            if nt and nt > 0:
+                exp[doc_id] = (sh, nt, off, off // SEQ, (off + nt - 1) // SEQ)
+                off += nt
+            else:
+                exp[doc_id] = (sh, nt, None, None, None)
+    got = {r["doc_id"]: (r["shard"], r["n_tok"], r["local_off"],
+                         r["pack_first"], r["pack_last"])
+           for r in vt.refresh().read().collect()}
+    assert got == exp
