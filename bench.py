@@ -14,6 +14,8 @@ Workload:
   - q_dedup_minhash — MinHash+LSH near-dup pairs over documents.
   - q_ann_topk   — brute-force cosine top-k over embeddings.
   - q_pricing    — TPC-H Q1-shape aggregate over lineitem.
+  - q_pack_assign — training-sequence packing plan over documents
+                   (sharded distributed prefix sum).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
@@ -123,7 +125,8 @@ def main() -> None:
     sf = _sf_of(sf_dir)
     n_events = max(20_000, int(10_000_000 * sf))  # sf0.1 → 1M events
 
-    from canal_spark.functions import cdc_demo, dedup, relational, similarity
+    from canal_spark.functions import (cdc_demo, curation, dedup,
+                                       relational, similarity, text)
     from pyspark.sql import functions as F
 
     # size the driver JVM like the spark-submit runs (PERF.md: heap growth
@@ -201,6 +204,9 @@ def main() -> None:
     timed("q_ann_topk", lambda: similarity.cosine_topk(
         t("embeddings"), t("embeddings").where(F.col("vec_id") < 8), k=5))
     timed("q_pricing", lambda: relational.pricing_summary(t("lineitem")))
+    timed("q_pack_assign", lambda: curation.pack_assignments(
+        text.token_count(t("documents")).select(
+            "doc_id", F.col("bpe_tokens").alias("n_tok")), seq_len=2048))
 
     canary_post = cpu_canary()
     stat1 = _cpu_stat()
