@@ -429,16 +429,15 @@ def _run_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pack_index_oracle_sql() -> str:
     """DuckDB twin of ``cdc_pack_index``: sequential python fold to the
-    final corpus → python per-shard concat-and-chunk packing (independent
-    of every Spark kernel)."""
-    from collections import defaultdict
-
+    final corpus → python per-shard concat-and-chunk packing
+    (oracle.oracle_pack_state — shared with the pytest oracles, nothing
+    shared with the engine's window kernel)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from canal_spark.fixtures.generator import generate_cdc_log
     from canal_spark.functions.tokenize import tokenize_table
-    from canal_spark.oracle import oracle_final_state
+    from canal_spark.oracle import oracle_final_state, oracle_pack_state
 
     work = os.path.join(_WORK, "oracle_pack_index")
     shutil.rmtree(work, ignore_errors=True)
@@ -447,23 +446,11 @@ def _pack_index_oracle_sql() -> str:
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=31), base=base)
     state, _cols = oracle_final_state(base, log_dir)
-    shards: dict = defaultdict(list)
-    for doc_id, row in state.items():
-        toks = row.get("tokens")
-        nt = len(toks) if toks is not None else row.get("n_tok")
-        shards[doc_id[:_PACK_SHARD_CHARS]].append((doc_id, nt))
-    recs = []
-    for sh, docs_in in shards.items():
-        off = 0
-        for doc_id, nt in sorted(docs_in):
-            if nt and nt > 0:
-                recs.append((doc_id, sh, nt, off, off // _PACK_SEQ_LEN,
-                             (off + nt - 1) // _PACK_SEQ_LEN))
-                off += nt
-            else:
-                recs.append((doc_id, sh,
-                             None if nt is None else nt, None, None, None))
-    recs.sort()
+    packed = oracle_pack_state(state, _PACK_SHARD_CHARS, _PACK_SEQ_LEN)
+    recs = sorted(
+        (r["doc_id"], r["shard"], r["n_tok"], r["local_off"],
+         r["pack_first"], r["pack_last"])
+        for r in packed.values())
     data = {
         "doc_id": pa.array([r[0] for r in recs], pa.string()),
         "shard": pa.array([r[1] for r in recs], pa.string()),

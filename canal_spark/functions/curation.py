@@ -70,8 +70,16 @@ def pack_assignments(df: DataFrame, seq_len: int, id_col: str = "doc_id",
 
     Integral ids shard by range instead — ``(id - min) div width`` with
     width sized for ~``shards`` shards off the same min/max aggregate
-    (decimal-string prefixes of ints are NOT order-consistent: "10" < "2").
-    Zero-token docs are excluded (they occupy no pack).
+    (decimal-string prefixes of ints are NOT order-consistent: "10" < "2");
+    ``shards`` applies ONLY to integral ids — string ids size their shards
+    with ``suffix_chars``. Zero-token docs are excluded (they occupy no
+    pack).
+
+    The narrow (id, n_tok) projection is persisted across the two driver
+    aggregates (min/max, per-shard totals) and released before the output
+    plan builds: the upstream lineage (e.g. a full tokenization) executes
+    twice — once cached for both metadata passes, once for the output job —
+    never three times.
     """
     import os as _os
 
@@ -84,6 +92,10 @@ def pack_assignments(df: DataFrame, seq_len: int, id_col: str = "doc_id",
                 F.col(ntok_col).cast("long").alias("n_tok"))
     )
     id_type = d.schema["id"].dataType
+    if not isinstance(id_type, (T.StringType, T.ByteType, T.ShortType,
+                                T.IntegerType, T.LongType)):
+        raise TypeError(f"pack_assignments: unsupported id type {id_type}")
+    d = d.persist()
     mn, mx = d.agg(F.min("id"), F.max("id")).first()
     if isinstance(id_type, T.StringType):
         cp = len(_os.path.commonprefix([mn or "", mx or ""]))
@@ -95,11 +107,14 @@ def pack_assignments(df: DataFrame, seq_len: int, id_col: str = "doc_id",
         width = max(1, ((int(mx) - int(mn)) // n_target) + 1) if mn is not None else 1
         shard_expr = F.expr(f"(id - {int(mn) if mn is not None else 0}) div {width}")
         shard_sort_key = int
-    else:
-        raise TypeError(f"pack_assignments: unsupported id type {id_type}")
-    d = d.withColumn("_shard", shard_expr.cast("string"))
     totals = {r["_shard"]: r["t"] for r in
-              d.groupBy("_shard").agg(F.sum("n_tok").alias("t")).collect()}
+              d.select(shard_expr.cast("string").alias("_shard"), "n_tok")
+              .groupBy("_shard").agg(F.sum("n_tok").alias("t")).collect()}
+    # both metadata passes are done; the output job below recomputes the
+    # narrow projection once rather than pinning executor storage for the
+    # caller's whole downstream lifetime (round-1 persist-leak lesson)
+    d = d.unpersist(blocking=False)
+    d = d.withColumn("_shard", shard_expr.cast("string"))
     base_rows, running = [], 0
     for shard in sorted(totals, key=shard_sort_key):
         base_rows.append((shard, running))

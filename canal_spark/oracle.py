@@ -180,3 +180,36 @@ def oracle_group_final_state(
                   ev["binlog_pos"]), ev))
     merged.sort(key=lambda p: p[0])
     return apply_events_py(base_rows, [ev for _, ev in merged])
+
+
+def oracle_pack_state(state: dict[str, dict], shard_chars: int,
+                      seq_len: int) -> dict[str, dict]:
+    """Per-shard concat-and-chunk packing of an oracle final state — the
+    expected-state fold for PackIndexView checks (one definition shared by
+    the pytest oracles and the driver's expected-state parquet, so the
+    packing convention can never drift between them). Pure python; nothing
+    shared with the engine's window kernel."""
+    from collections import defaultdict
+
+    shards: dict[str, list] = defaultdict(list)
+    for doc_id, row in state.items():
+        toks = row.get("tokens")
+        nt = len(toks) if toks is not None else row.get("n_tok")
+        shards[doc_id[:shard_chars]].append((doc_id, nt))
+    out: dict[str, dict] = {}
+    for sh, docs in shards.items():
+        off = 0
+        for doc_id, nt in sorted(docs):
+            if nt and nt > 0:
+                out[doc_id] = {
+                    "doc_id": doc_id, "shard": sh, "n_tok": nt,
+                    "local_off": off, "pack_first": off // seq_len,
+                    "pack_last": (off + nt - 1) // seq_len,
+                }
+                off += nt
+            else:
+                out[doc_id] = {
+                    "doc_id": doc_id, "shard": sh, "n_tok": nt,
+                    "local_off": None, "pack_first": None, "pack_last": None,
+                }
+    return out

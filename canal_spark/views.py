@@ -338,17 +338,27 @@ class PackIndexView:
         # still inflate its NEIGHBOURS' offsets (observed with a mid-log
         # TRUNCATE: re-delivered pre-truncate rows resurrected into the
         # sum). So apply the merge's own fence here — full-outer join the
-        # stored rows (INCLUDING tombstones, which fence resurrections)
-        # against the batch; strict > keeps ties with the store, exactly
-        # like merge_apply.
+        # stored rows (INCLUDING tombstones, which fence resurrections
+        # under stale partial redelivery) against the batch; strict > keeps
+        # ties with the store, exactly like merge_apply.
+        #
+        # The stored-side filter derives the shard FROM THE KEY, never from
+        # the stored `shard` column: tombstones carry NULL data columns
+        # (merge_apply NULLs non-key columns on delete), so a column-based
+        # isin would silently drop every tombstone and the fence above
+        # would be dead code (test_pack_index_stale_partial_redelivery).
         floor_lsn = F.coalesce(
             F.nullif(F.col("_source_lsn"), F.lit("")), F.lit(ZERO_LSN))
+        key_shard = F.substring(F.col(key).cast("string"), 1, self.shard_chars)
         st = (
             self.table.read_raw()
-            .where(F.col("shard").isin(touched))
+            .where(key_shard.isin(touched))
             .select(F.col(key),
-                    F.col("shard").alias("_st_shard"),
+                    key_shard.alias("_st_shard"),
                     F.col("n_tok").alias("_st_ntok"),
+                    F.col("local_off").alias("_st_off"),
+                    F.col("pack_first").alias("_st_pf"),
+                    F.col("pack_last").alias("_st_pl"),
                     floor_lsn.alias("_st_lsn"),
                     F.coalesce(F.col("_deleted"), F.lit(False)).alias("_st_del"))
         )
@@ -358,6 +368,23 @@ class PackIndexView:
         j = st.join(bt, key, "full_outer")
         batch_wins = F.col("_bt_lsn").isNotNull() & (
             F.col("_st_lsn").isNull() | (F.col("_bt_lsn") > F.col("_st_lsn")))
+        # Carried rows are re-stamped just above their own source LSN with a
+        # BOUNDED suffix: base~p{count:06d}. A raw `lsn || '~p'` accretes 2
+        # chars on every touched batch (hot shards → unbounded _source_lsn
+        # growth); the fixed-width counter keeps the stamp 9 chars over the
+        # base forever and stays string-monotone per re-stamp. Real LSNs
+        # are fixed-width, so base~p... still sorts after the base and
+        # before any later real event.
+        has_stamp = F.col("_st_lsn").rlike(r"~p\d{6}$")
+        stamp_base = F.when(
+            has_stamp,
+            F.expr("substring(_st_lsn, 1, length(_st_lsn) - 9)"),
+        ).otherwise(F.col("_st_lsn"))
+        stamp_n = F.when(
+            has_stamp, F.substring(F.col("_st_lsn"), -6, 6).cast("int") + 1
+        ).otherwise(F.lit(1))
+        restamp = F.concat(stamp_base, F.lit("~p"),
+                           F.lpad(stamp_n.cast("string"), 6, "0"))
         live = (
             j.where(
                 (batch_wins & (F.col("op") == "U"))
@@ -370,12 +397,27 @@ class PackIndexView:
                 F.when(batch_wins, F.col("_bt_ntok"))
                 .otherwise(F.col("_st_ntok")).alias("n_tok"),
                 F.when(batch_wins, F.col("_bt_lsn"))
-                .otherwise(F.concat(F.col("_st_lsn"), F.lit("~p"))).alias("lsn"),
+                .otherwise(restamp).alias("lsn"),
+                batch_wins.alias("_from_batch"),
+                "_st_off", "_st_pf", "_st_pl",
             )
             .withColumn("op", F.lit("U"))
         )
-        packed = _pack_cols(live, self.seq_len, key).select(
-            key, *PACK_INDEX_COLS, "op", "lsn")
+        # Skip unchanged carried rows: a doc BEFORE the shard's first change
+        # point keeps its offsets, so rewriting (and re-stamping) it is pure
+        # write amplification. NULL-safe compare keeps zero-token rows out
+        # of the rewrite too.
+        unchanged = (
+            ~F.col("_from_batch")
+            & F.col("local_off").eqNullSafe(F.col("_st_off"))
+            & F.col("pack_first").eqNullSafe(F.col("_st_pf"))
+            & F.col("pack_last").eqNullSafe(F.col("_st_pl"))
+        )
+        packed = (
+            _pack_cols(live, self.seq_len, key)
+            .where(~unchanged)
+            .select(key, *PACK_INDEX_COLS, "op", "lsn")
+        )
         dels = j.where(batch_wins & (F.col("op") == "D")).select(
             F.col(key),
             F.lit(None).cast("string").alias("shard"),

@@ -220,8 +220,7 @@ def test_streaming_pack_index_kill_resume(spark, tmp_work):
     """PackIndexView under Structured Streaming: txn-aligned micro-batches
     re-pack touched shards as they land; a hard kill + checkpoint resume
     converges the index to the per-shard packing of the final corpus."""
-    from collections import defaultdict
-
+    from canal_spark.oracle import oracle_pack_state
     from canal_spark.views import PackIndexView, pack_index_frame
 
     SEQ, K = 64, 6
@@ -256,20 +255,9 @@ def test_streaming_pack_index_kill_resume(spark, tmp_work):
     _check(table.refresh(), base, typed_dir)
 
     expected, _cols = oracle_final_state(base, typed_dir)
-    shards = defaultdict(list)
-    for doc_id, row in expected.items():
-        toks = row.get("tokens")
-        nt = len(toks) if toks is not None else row.get("n_tok")
-        shards[doc_id[:K]].append((doc_id, nt))
-    exp = {}
-    for sh, docs in shards.items():
-        off = 0
-        for doc_id, nt in sorted(docs):
-            if nt and nt > 0:
-                exp[doc_id] = (sh, nt, off, off // SEQ, (off + nt - 1) // SEQ)
-                off += nt
-            else:
-                exp[doc_id] = (sh, nt, None, None, None)
+    exp = {d: (r["shard"], r["n_tok"], r["local_off"], r["pack_first"],
+               r["pack_last"])
+           for d, r in oracle_pack_state(expected, K, SEQ).items()}
     got = {r["doc_id"]: (r["shard"], r["n_tok"], r["local_off"],
                          r["pack_first"], r["pack_last"])
            for r in vt.refresh().read().collect()}

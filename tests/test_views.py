@@ -358,31 +358,10 @@ SHARD_CHARS = 6
 def _expected_pack(base, log_dir):
     """Recompute-from-scratch: oracle final state -> python per-shard
     concat-and-chunk packing (independent of every Spark kernel)."""
-    from collections import defaultdict
+    from canal_spark.oracle import oracle_pack_state
 
     expected, _cols = oracle_final_state(base, log_dir)
-    shards = defaultdict(list)
-    for doc_id, row in expected.items():
-        toks = row.get("tokens")
-        nt = len(toks) if toks is not None else row.get("n_tok")
-        shards[doc_id[:SHARD_CHARS]].append((doc_id, nt))
-    out = {}
-    for sh, docs in shards.items():
-        off = 0
-        for doc_id, nt in sorted(docs):
-            if nt and nt > 0:
-                out[doc_id] = {
-                    "doc_id": doc_id, "shard": sh, "n_tok": nt,
-                    "local_off": off, "pack_first": off // SEQ_LEN,
-                    "pack_last": (off + nt - 1) // SEQ_LEN,
-                }
-                off += nt
-            else:
-                out[doc_id] = {
-                    "doc_id": doc_id, "shard": sh, "n_tok": nt,
-                    "local_off": None, "pack_first": None, "pack_last": None,
-                }
-    return out
+    return oracle_pack_state(expected, SHARD_CHARS, SEQ_LEN)
 
 
 def _pack_setup(spark, tmp_work, spec, n_base=300):
@@ -459,6 +438,28 @@ def test_pack_index_redelivery_across_truncate(spark, tmp_work):
     before = _pack_state(view)
     assert_state_equal(before, _expected_pack(base, log_dir), PACK_COLS)
     replay(spark, log_dir, table.refresh(), views=[view])  # duplicate
+    assert _pack_state(view) == before
+
+
+def test_pack_index_stale_partial_redelivery(spark, tmp_work):
+    """Regression (review finding): a STALE subset of the log re-delivered
+    ALONE must be a no-op — specifically for docs the full log later
+    DELETED. Their tombstones carry NULL data columns (merge_apply NULLs
+    non-key columns on delete), so the stored-side scan filter must derive
+    the shard FROM THE KEY: filtering on the stored `shard` column drops
+    every tombstone, the fence never sees them, and the resurrected stale
+    row inflates every later neighbour's offsets in its shard."""
+    spec = CdcLogSpec(n_events=2000, seed=65, events_per_file=250,
+                      op_mix=(0.3, 0.45, 0.25))  # delete-heavy
+    base, log_dir, table, view = _pack_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _pack_state(view)
+    assert_state_equal(before, _expected_pack(base, log_dir), PACK_COLS)
+    # re-deliver ONLY the first segment (early events whose keys were later
+    # updated/deleted), un-ledgered — the at-least-once delivery pattern
+    first = sorted(f for f in os.listdir(log_dir)
+                   if f.endswith(".parquet"))[:1]
+    replay(spark, log_dir, table.refresh(), files=first, views=[view])
     assert _pack_state(view) == before
 
 
