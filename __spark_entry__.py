@@ -381,6 +381,75 @@ def _fingerprint_index_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+def _run_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven dedup sweep (canal_spark/curate.py): replay maintains
+    the exact-dup fingerprint index, then the sweep reads THE INDEX to pick
+    victims (min-key-per-group survives) and deletes them from the main
+    table through the same net-change contract — the index applies the
+    identical deletes in the same pass. Returns the SWEPT main state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.curate import dedup_sweep
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import fingerprint_index_view
+
+    work = os.path.join(_WORK, "q_dedup_sweep")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=37), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    vt = LakeTable.create(
+        spark, os.path.join(work, "fp_index"), INDEX_SCHEMA, n_buckets=8,
+        df=base_df.select("doc_id", F.md5(F.to_json("tokens")).alias("fp_md5"),
+                          "n_tok", "source"))
+    view = fingerprint_index_view(vt)
+    replay(spark, log_dir, table.refresh(), views=[view])
+    dedup_sweep(table.refresh(), vt, views=[view], batch_id="sweep")
+    return _canonical_state(table.refresh().read())
+
+
+def _dedup_sweep_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_dedup_sweep``: sequential python fold → python
+    keep-min-per-token-group sweep → expected-state parquet."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_dedup_sweep")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=37), base=base)
+    state, cols = oracle_final_state(base, log_dir)
+    groups: dict = {}
+    for doc_id, row in state.items():
+        toks = row.get("tokens")
+        if toks is None:
+            continue
+        groups.setdefault(json.dumps(list(toks)), []).append(doc_id)
+    swept = dict(state)
+    for ids in groups.values():
+        for victim in sorted(ids)[1:]:
+            del swept[victim]
+    p = _write_expected_state(os.path.join(work, "expected.parquet"),
+                              swept, cols)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 PACK_INDEX_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("shard", T.StringType()),
@@ -830,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_fingerprint_index"] = _run_fingerprint_index
     q["cdc_minhash_index"] = _run_minhash_index
     q["cdc_pack_index"] = _run_pack_index
+    q["cdc_dedup_sweep"] = _run_dedup_sweep
     q["cdc_changelog_feed"] = _run_changelog_feed
     return q
 
@@ -1089,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
         o["cdc_minhash_index"] = _minhash_index_oracle_sql()
         o["cdc_pack_index"] = _pack_index_oracle_sql()
+        o["cdc_dedup_sweep"] = _dedup_sweep_oracle_sql()
         o["cdc_changelog_feed"] = _changelog_feed_oracle_sql()
     except Exception:
         pass

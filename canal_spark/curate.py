@@ -1,0 +1,79 @@
+"""Index-driven curation actions: apply dedup decisions back to the
+CDC-maintained lake table, with attached views kept consistent.
+
+This closes the loop the curation indexes open: replay maintains the
+exact-dup fingerprint index (views.fingerprint_index_view) at O(batch);
+``dedup_sweep`` reads THE INDEX — a few narrow columns, never the token
+arrays — to pick victims, and deletes them from the main table through the
+SAME net-change contract the CDC path uses, so every attached view
+(including the index itself, and the pack index whose shards the deletions
+re-pack) applies the identical deletes and stays consistent.
+
+Reference shape: Canal's adapters only ship changes; the curation action is
+the training-data mandate's addition — but the apply mechanics deliberately
+reuse the merge/fence/ledger contract (table/lake.py merge_apply) instead of
+growing a second write path.
+
+Scale: the victim scan is one groupBy over the index (narrow), the D-row
+build is a semi-join against the main table pruned to victim keys, and the
+MERGE itself is the usual file-pruned commit — cost is O(index) + O(victims),
+never O(corpus token bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canal_spark.table.lake import LakeTable
+
+
+def dedup_sweep(table: LakeTable, index: LakeTable, views=(),
+                batch_id: str | None = None) -> dict:
+    """Delete exact duplicates from ``table``: group the fingerprint index
+    by ``fp_md5``, keep the MIN key per group, tombstone the rest.
+
+    Victim D-rows are stamped just above each victim's OWN current
+    ``_source_lsn`` (``base~s`` — '~s' sorts after the '~d' dim-refresh and
+    '~p{n}' re-pack stamps of the same base, and before any later real
+    fixed-width LSN), so the sweep wins against exactly the state it read:
+    a later CDC event for the same key replayed afterwards still wins and
+    legitimately resurrects the doc. Re-running the sweep is a no-op
+    (victims are already tombstoned, so no live row groups > 1).
+
+    ``views``: the same view objects attached to replay — they receive the
+    identical net D-rows, so the fingerprint index drops the victims and
+    the pack index re-packs their shards in the same pass.
+    """
+    key = table.key_col
+    idx = index.refresh().read().where(F.col("fp_md5").isNotNull())
+    keeper = idx.groupBy("fp_md5").agg(F.min(key).alias("_keep"))
+    victims = (
+        idx.join(keeper, "fp_md5")
+        .where(F.col(key) != F.col("_keep"))
+        .select(key)
+    )
+    from canal_spark.lsn import ZERO_LSN
+
+    floor_lsn = F.coalesce(
+        F.nullif(F.col("_source_lsn"), F.lit("")), F.lit(ZERO_LSN))
+    data_cols = [c for c in table.logical_columns() if c != key]
+    types = table.schema()
+    net = (
+        table.read_raw()
+        .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .join(victims, key, "leftsemi")
+        .select(
+            F.col(key),
+            *[F.lit(None).cast(types[c].dataType).alias(c) for c in data_cols],
+            F.lit("D").alias("op"),
+            F.concat(floor_lsn, F.lit("~s")).alias("lsn"),
+        )
+    ).persist()  # one victim scan feeds the main merge AND every view
+    try:
+        res = table.merge_apply(net, batch_id=batch_id)
+        for i, v in enumerate(views):
+            v.apply(net, batch_id=None if batch_id is None
+                    else f"{batch_id}/v{i}")
+        return res
+    finally:
+        net.unpersist()
