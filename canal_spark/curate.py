@@ -27,31 +27,13 @@ from pyspark.sql import functions as F
 from canal_spark.table.lake import LakeTable
 
 
-def dedup_sweep(table: LakeTable, index: LakeTable, views=(),
-                batch_id: str | None = None) -> dict:
-    """Delete exact duplicates from ``table``: group the fingerprint index
-    by ``fp_md5``, keep the MIN key per group, tombstone the rest.
-
-    Victim D-rows are stamped just above each victim's OWN current
-    ``_source_lsn`` (``base~s`` — '~s' sorts after the '~d' dim-refresh and
-    '~p{n}' re-pack stamps of the same base, and before any later real
-    fixed-width LSN), so the sweep wins against exactly the state it read:
-    a later CDC event for the same key replayed afterwards still wins and
-    legitimately resurrects the doc. Re-running the sweep is a no-op
-    (victims are already tombstoned, so no live row groups > 1).
-
-    ``views``: the same view objects attached to replay — they receive the
-    identical net D-rows, so the fingerprint index drops the victims and
-    the pack index re-packs their shards in the same pass.
-    """
+def _delete_keys(table: LakeTable, victims, views=(),
+                 batch_id: str | None = None) -> dict:
+    """Tombstone ``victims`` (a one-column DF of ``table.key_col`` values)
+    through the CDC net-change contract: D-rows stamped ``base~s`` above
+    each victim's OWN current LSN, applied to the main table and every
+    attached view from one persisted victim scan."""
     key = table.key_col
-    idx = index.refresh().read().where(F.col("fp_md5").isNotNull())
-    keeper = idx.groupBy("fp_md5").agg(F.min(key).alias("_keep"))
-    victims = (
-        idx.join(keeper, "fp_md5")
-        .where(F.col(key) != F.col("_keep"))
-        .select(key)
-    )
     from canal_spark.lsn import ZERO_LSN
 
     floor_lsn = F.coalesce(
@@ -77,3 +59,80 @@ def dedup_sweep(table: LakeTable, index: LakeTable, views=(),
         return res
     finally:
         net.unpersist()
+
+
+def dedup_sweep(table: LakeTable, index: LakeTable, views=(),
+                batch_id: str | None = None) -> dict:
+    """Delete exact duplicates from ``table``: group the fingerprint index
+    by ``fp_md5``, keep the MIN key per group, tombstone the rest.
+
+    Victim D-rows are stamped just above each victim's OWN current
+    ``_source_lsn`` (``base~s`` — '~s' sorts after the '~d' dim-refresh and
+    '~p{n}' re-pack stamps of the same base, and before any later real
+    fixed-width LSN), so the sweep wins against exactly the state it read:
+    a later CDC event for the same key replayed afterwards still wins and
+    legitimately resurrects the doc. Re-running the sweep is a no-op
+    (victims are already tombstoned, so no live row groups > 1).
+
+    ``views``: the same view objects attached to replay — they receive the
+    identical net D-rows, so the fingerprint index drops the victims and
+    the pack index re-packs their shards in the same pass.
+    """
+    key = table.key_col
+    idx = index.refresh().read().where(F.col("fp_md5").isNotNull())
+    keeper = idx.groupBy("fp_md5").agg(F.min(key).alias("_keep"))
+    victims = (
+        idx.join(keeper, "fp_md5")
+        .where(F.col(key) != F.col("_keep"))
+        .select(key)
+    )
+    return _delete_keys(table, victims, views, batch_id)
+
+
+def near_dedup_sweep(table: LakeTable, band_view, threshold_bp: int = 9000,
+                     views=(), batch_id: str | None = None) -> dict:
+    """Near-dup sweep off the CDC-maintained MinHash-LSH band index
+    (views.MinhashBandIndexView): candidate pairs come from bucket
+    collisions IN THE INDEX (one bucket-sized self-join — never corpus²),
+    are verified by exact signature agreement recomputed over ONLY the
+    candidate docs (O(candidates), not O(corpus)), and each verified pair's
+    GREATER key is deleted — a deterministic rule both engines reproduce
+    bit-for-bit (the md5-portable hash family makes the DuckDB oracle's
+    banding, estimates and victim set identical).
+
+    ``views`` should include ``band_view`` itself so the index drops the
+    victims' band rows in the same pass. The '~s' fence semantics match
+    :func:`dedup_sweep`: re-sweep is a no-op, later CDC events resurrect.
+    """
+    from canal_spark.functions.dedup import banded_signatures
+
+    key = table.key_col
+    cand = band_view.candidate_pairs()
+    ids = (cand.select(F.col("id_a").alias(key))
+           .union(cand.select(F.col("id_b").alias(key))).distinct())
+    docs = (
+        table.read()
+        .join(ids, key, "leftsemi")
+        .select(F.col(key),
+                F.array_join(F.col(band_view.tokens_col), " ").alias("_txt"))
+    )
+    sigs = (
+        banded_signatures(docs, id_col=key, text_col="_txt", n=band_view.n,
+                          num_hashes=band_view.num_hashes,
+                          bands=band_view.bands)
+        .select("id", "sig").dropDuplicates(["id"])
+    )
+    match_bp = F.floor(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq)) * 10000 / band_view.num_hashes
+    ).cast("long")
+    verified = (
+        cand
+        .join(sigs.select(F.col("id").alias("id_a"),
+                          F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
+        .where(match_bp >= threshold_bp)
+    )
+    victims = verified.select(F.col("id_b").alias(key)).distinct()
+    return _delete_keys(table, victims, views, batch_id)

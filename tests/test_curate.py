@@ -139,3 +139,90 @@ def test_dedup_sweep_applies_index_decisions(spark, tmp_work):
         "op string, lsn string")
     table.refresh().merge_apply(up, batch_id="resurrect")
     assert _main_state(table)[victim]["tokens"] == (1, 2, 3)
+
+
+BAND_INDEX_SCHEMA = T.StructType([
+    T.StructField("band_key", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("bucket", T.LongType()),
+])
+N_BANDS = 8
+
+
+def test_near_dedup_sweep(spark, tmp_work):
+    """Near-dup sweep: candidates from the maintained band index, verified
+    over candidates only, greater key of each verified pair deleted. The
+    expected victim set comes from DuckDB running the md5-portable LSH pair
+    SQL over the folded corpus — independent of every Spark kernel."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from canal_spark.curate import near_dedup_sweep
+    from canal_spark.functions.dedup import banded_signatures, minhash_lsh_pairs_sql
+    from canal_spark.views import MinhashBandIndexView
+
+    base = generate_base_table(150, seed=73)
+    rows = base.to_pylist()
+    # exact dups + near dups (two extra tokens appended — high Jaccard)
+    for i, r in enumerate(rows[::6]):
+        rows.append({**r, "doc_id": f"dup{i:06d}"})
+    for i, r in enumerate(rows[2::6]):
+        toks = list(r["tokens"]) + [7, 9]
+        rows.append({**r, "doc_id": f"near{i:06d}", "tokens": toks,
+                     "n_tok": len(toks)})
+    base = pa.Table.from_pylist(rows, schema=base.schema).sort_by("doc_id")
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, CdcLogSpec(n_events=1200, seed=73,
+                                         events_per_file=400), base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    bb = banded_signatures(
+        bdf.select("doc_id", F.array_join("tokens", " ").alias("_txt")),
+        id_col="doc_id", text_col="_txt", bands=N_BANDS,
+    ).select(F.col("id").alias("doc_id"), "band", "bucket")
+    seed_idx = (
+        bdf.select("doc_id", F.explode(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
+        .join(bb, on=["doc_id", "band"], how="left")
+        .select(F.concat_ws("#", "doc_id", "band").alias("band_key"),
+                "doc_id", F.col("band").cast("int"), F.col("bucket").cast("long"))
+    )
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "band_idx"),
+                          BAND_INDEX_SCHEMA, key_col="band_key", n_buckets=8,
+                          df=seed_idx)
+    view = MinhashBandIndexView(vt, bands=N_BANDS)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+
+    near_dedup_sweep(table.refresh(), view, threshold_bp=8000,
+                     views=[view], batch_id="ns1")
+
+    # independent expected victims: DuckDB LSH pairs over the folded corpus
+    state, _cols = oracle_final_state(base, log_dir)
+    p_txt = os.path.join(tmp_work, "corpus.parquet")
+    srt = sorted(state.values(), key=lambda r: r["doc_id"])
+    pq.write_table(pa.table({
+        "doc_id": [r["doc_id"] for r in srt],
+        "text": [" ".join(map(str, r["tokens"])) if r.get("tokens") else None
+                 for r in srt],
+    }), p_txt)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW corpus AS SELECT * FROM read_parquet('{p_txt}') "
+                "WHERE text IS NOT NULL")
+    pairs_sql = minhash_lsh_pairs_sql(n=3, num_hashes=64, bands=N_BANDS,
+                                      threshold_bp=8000, table="corpus")
+    victims = {r[0] for r in
+               con.execute(f"SELECT DISTINCT id_b FROM ({pairs_sql})").fetchall()}
+    assert victims, "fixture produced no near-dup victims"
+    expected_ids = set(state) - victims
+
+    got_ids = {r["doc_id"] for r in table.refresh().read().collect()}
+    assert got_ids == expected_ids
+    # the band index dropped the victims' rows in the same pass
+    idx_docs = {r["doc_id"] for r in vt.refresh().read().collect()}
+    assert idx_docs == expected_ids
+    # no verified pair survives -> re-sweep is a no-op
+    near_dedup_sweep(table.refresh(), view, threshold_bp=8000,
+                     views=[view], batch_id="ns2")
+    assert {r["doc_id"] for r in table.refresh().read().collect()} == got_ids
