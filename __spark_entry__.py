@@ -381,6 +381,78 @@ def _fingerprint_index_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+ROLLUP_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("sum_n_tok", T.LongType()),
+])
+
+
+def _run_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained GROUP-BY rollup (AggRollupView): per-source
+    doc counts + token sums kept current under the CDC replay by
+    retraction-based incremental view maintenance — signed deltas against
+    the main table's parent snapshot (the exact state each merge fenced
+    against), never a corpus rescan. Returns the rollup's final state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import AggRollupView, agg_rollup_frame
+
+    work = os.path.join(_WORK, "q_agg_rollup")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=19), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    vt = LakeTable.create(spark, os.path.join(work, "rollup"), ROLLUP_SCHEMA,
+                          key_col="source", n_buckets=4,
+                          df=agg_rollup_frame(base_df, "source", ("n_tok",)))
+    replay(spark, log_dir, table.refresh(),
+           views=[AggRollupView(vt, table, "source", ("n_tok",))])
+    return vt.refresh().read().select(*[f.name for f in ROLLUP_SCHEMA])
+
+
+def _agg_rollup_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_agg_rollup``: sequential python fold of the
+    identical log → plain GROUP BY over the expected final state (NULL
+    groups coalesce to the view's '(null)' sentinel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_agg_rollup")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=19), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    rows = sorted(state.values(), key=lambda r: r["doc_id"])
+    data = {
+        "source": pa.array(["(null)" if r.get("source") is None
+                            else str(r["source"]) for r in rows], pa.string()),
+        "n_tok": pa.array([0 if r.get("n_tok") is None else int(r["n_tok"])
+                           for r in rows], pa.int64()),
+    }
+    os.makedirs(work, exist_ok=True)
+    p = os.path.join(work, "state.parquet")
+    pq.write_table(pa.table(data), p)
+    return (f"SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS sum_n_tok "
+            f"FROM read_parquet('{p}') GROUP BY source")
+
+
 def _run_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-driven dedup sweep (canal_spark/curate.py): replay maintains
     the exact-dup fingerprint index, then the sweep reads THE INDEX to pick
@@ -992,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_view_sync"] = _run_view_sync
     q["cdc_mirror_state"] = _run_mirror
     q["cdc_fingerprint_index"] = _run_fingerprint_index
+    q["cdc_agg_rollup"] = _run_agg_rollup
     q["cdc_minhash_index"] = _run_minhash_index
     q["cdc_pack_index"] = _run_pack_index
     q["cdc_dedup_sweep"] = _run_dedup_sweep
@@ -1253,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_view_sync"] = _view_sync_oracle_sql()
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
+        o["cdc_agg_rollup"] = _agg_rollup_oracle_sql()
         o["cdc_minhash_index"] = _minhash_index_oracle_sql()
         o["cdc_pack_index"] = _pack_index_oracle_sql()
         o["cdc_dedup_sweep"] = _dedup_sweep_oracle_sql()

@@ -517,3 +517,181 @@ class MinhashBandIndexView:
         b = idx.select(F.col(self.doc_col).alias("id_b"), "bucket")
         return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
+
+
+# ------------------------------------------------------- AggRollupView
+
+#: NULL group values map to this sentinel so the rollup's key column (a
+#: LakeTable key can never be NULL) still accounts for them — mirror it in
+#: any recompute/oracle with COALESCE(group, '(null)').
+NULL_GROUP = "(null)"
+
+
+def agg_rollup_frame(df: DataFrame, group_col: str,
+                     sum_cols: tuple = ("n_tok",)) -> DataFrame:
+    """Batch rollup of a corpus snapshot — the seed for AggRollupView and
+    its recompute-from-scratch twin: one row per group with ``n_docs`` and
+    ``sum_<c>`` for each sum column."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit(NULL_GROUP))
+    return df.groupBy(g.alias(group_col)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0)))
+          .alias(f"sum_{c}") for c in sum_cols])
+
+
+class AggRollupView:
+    """An incrementally-maintained GROUP-BY rollup over the CDC'd table —
+    classic retraction-based incremental view maintenance (count/sum are
+    the self-maintainable aggregates; min/max would need recompute on
+    retraction and are deliberately out of scope).
+
+    The serving analog of the reference adapters' aggregated sync targets
+    (the ES adapter keeps derived per-document fields current on every DML,
+    client-adapter/escore/.../ESSyncService.java:458-492; a rollup is the
+    same "derived state at O(batch)" contract with GROUP BY semantics —
+    also the shape of Flink's aggregations over retractable changelog
+    streams). Recomputing ``GROUP BY source`` over 10^10 rows per
+    micro-batch is a full scan; this maintains it at O(batch) + one
+    NARROW, bucket-pruned old-image read.
+
+    Correctness hinges on retracting each changed key's OLD contribution
+    under exactly the fence the main merge applied. The old images come
+    from the main table's PARENT snapshot — ``merge_apply`` commits a new
+    version whose ``parent`` is precisely the state it fenced the batch
+    against, so reading ``read_raw(version=parent)`` (tombstones included:
+    a tombstone's LSN fences resurrections; its contribution is zero)
+    reproduces the merge's win/lose decision bit-for-bit in every path the
+    ledger allows: ordered delivery, crash-resume into a ledgered main
+    merge (main's newest commit IS this batch → parent is pre-batch), and
+    un-ledgered redelivery (every row loses the fence → zero deltas → the
+    view provably doesn't move). The old-image read prunes to the batch's
+    buckets and only the (key, group, sum, lsn, deleted) columns — parquet
+    column pruning keeps it far cheaper than the merge's own join.
+
+    Per batch: signed deltas (+new winner / −old live image) aggregate per
+    group, then MERGE absolute values into the view table, reading only
+    the touched groups' buckets. Group-changing updates retract from the
+    old group and add to the new one; a group reaching zero docs
+    tombstones its row. View-row stamps are ``greatest(range_hi || '~a',
+    stored_lsn || '~a')`` — monotone per group even if a group's latest
+    change arrives in a range whose LSNs trail an earlier range's.
+    TRUNCATE propagates via the pipeline's ``v.table.truncate()`` hook.
+    """
+
+    def __init__(self, view_table: LakeTable, main: LakeTable,
+                 group_col: str = "source", sum_cols: tuple = ("n_tok",)):
+        self.table = view_table
+        self.main = main
+        self.group_col = group_col
+        self.sum_cols = tuple(sum_cols)
+
+    def apply(self, net_changes: DataFrame, batch_id: str | None = None,
+              max_lsn: str | None = None) -> dict:
+        from canal_spark.lsn import ZERO_LSN
+        from canal_spark.table.lake import _ledger_add, bucket_expr
+
+        if batch_id is not None and self.table.is_applied(batch_id):
+            return {"skipped": True}
+        main = self.main.refresh()
+        key = main.key_col
+        gcol, sums = self.group_col, self.sum_cols
+        parent = main.snap.get("parent", main.snap["version"])
+        psnap = main.load_version(parent)
+        trunc = psnap.get("truncate_lsn", "")
+
+        def _grp(c):
+            return F.coalesce(c.cast("string"), F.lit(NULL_GROUP))
+
+        have = set(net_changes.columns)
+        chg = net_changes.where(F.col(key).isNotNull())
+        if trunc:
+            chg = chg.where(F.col("lsn") > trunc)
+        chg = chg.select(
+            F.col(key), "op", "lsn",
+            _grp(F.col(gcol) if gcol in have else F.lit(None)).alias("_n_g"),
+            *[(F.col(c) if c in have else F.lit(None)).cast("long")
+              .alias(f"_n_{c}") for c in sums])
+        # one metadata action: the batch's main-table buckets + max LSN
+        # (the merge planner's bucket-stats idiom)
+        brows = (chg.groupBy(bucket_expr(key, main.n_buckets).alias("_b"))
+                 .agg(F.max("lsn").alias("mx")).collect())
+        if not brows:
+            if batch_id is not None:
+                self.table._commit_meta(applied_batches=_ledger_add(
+                    self.table.snap["applied_batches"], batch_id))
+            return {"skipped": False, "groups": 0}
+        bks = sorted(r["_b"] for r in brows)
+        hi = max_lsn or max(r["mx"] for r in brows)
+
+        old = (
+            main.read_raw(buckets=bks, version=parent)
+            .select(F.col(key),
+                    _grp(F.col(gcol)).alias("_o_g"),
+                    *[F.col(c).cast("long").alias(f"_o_{c}") for c in sums],
+                    F.col("_source_lsn").alias("_o_lsn"),
+                    F.coalesce(F.col("_deleted"), F.lit(False)).alias("_o_del"))
+        )
+        # merge_apply's exact fence: the batch side wins iff no stored row
+        # or strictly newer LSN (full_outer + batch-bounded SHUFFLE_HASH
+        # build, the merge's measured join shape)
+        j = old.join(chg.withColumnRenamed(key, "_ck").hint("SHUFFLE_HASH"),
+                     old[key] == F.col("_ck"), "full_outer") \
+               .where(F.col("op").isNotNull())
+        win = F.col("_o_lsn").isNull() | (F.col("lsn") > F.col("_o_lsn"))
+        minus = (
+            j.where(win & F.col("_o_lsn").isNotNull() & ~F.col("_o_del"))
+            .select(F.col("_o_g").alias("_g"), F.lit(-1).alias("_dn"),
+                    *[(-F.coalesce(F.col(f"_o_{c}"), F.lit(0)))
+                      .alias(f"_ds_{c}") for c in sums]))
+        plus = (
+            j.where(win & (F.col("op") == "U"))
+            .select(F.col("_n_g").alias("_g"), F.lit(1).alias("_dn"),
+                    *[F.coalesce(F.col(f"_n_{c}"), F.lit(0))
+                      .alias(f"_ds_{c}") for c in sums]))
+        deltas = (
+            minus.unionByName(plus).groupBy("_g")
+            .agg(F.sum("_dn").cast("long").alias("_dn"),
+                 *[F.sum(f"_ds_{c}").cast("long").alias(f"_ds_{c}")
+                   for c in sums])
+            .where(" or ".join(["_dn != 0"]
+                               + [f"_ds_{c} != 0" for c in sums]))
+        ).persist()
+        try:
+            vrows = (deltas.select(
+                bucket_expr("_g", self.table.n_buckets).alias("_b"))
+                .distinct().collect())
+            if not vrows:
+                if batch_id is not None:
+                    self.table._commit_meta(applied_batches=_ledger_add(
+                        self.table.snap["applied_batches"], batch_id))
+                return {"skipped": False, "groups": 0}
+            cur = (
+                self.table.read_raw(buckets=[r["_b"] for r in vrows])
+                .select(F.col(gcol).alias("_g"), "n_docs",
+                        *[f"sum_{c}" for c in sums],
+                        F.coalesce(F.nullif(F.col("_source_lsn"), F.lit("")),
+                                   F.lit(ZERO_LSN)).alias("_v_lsn"),
+                        F.coalesce(F.col("_deleted"), F.lit(False))
+                        .alias("_v_del"))
+            )
+            jj = deltas.join(cur, "_g", "left")
+            live = F.col("_v_lsn").isNotNull() & ~F.col("_v_del")
+            new_n = (F.when(live, F.col("n_docs")).otherwise(F.lit(0))
+                     + F.col("_dn")).cast("long")
+            stamp = F.greatest(
+                F.concat(F.lit(hi), F.lit("~a")),
+                F.concat(F.coalesce(F.col("_v_lsn"), F.lit(ZERO_LSN)),
+                         F.lit("~a")))
+            out = jj.select(
+                F.col("_g").alias(gcol),
+                new_n.alias("n_docs"),
+                *[(F.when(live, F.coalesce(F.col(f"sum_{c}"), F.lit(0)))
+                   .otherwise(F.lit(0)) + F.col(f"_ds_{c}")).cast("long")
+                  .alias(f"sum_{c}") for c in sums],
+                F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U"))
+                .alias("op"),
+                stamp.alias("lsn"),
+            )
+            return self.table.merge_apply(out, batch_id=batch_id, max_lsn=hi)
+        finally:
+            deltas.unpersist()

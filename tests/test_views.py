@@ -474,3 +474,144 @@ def test_pack_index_truncate_propagates(spark, tmp_work):
     assert_state_equal(_pack_state(view), exp, PACK_COLS)
     main_ids = {r["doc_id"] for r in table.read().select("doc_id").collect()}
     assert set(exp) == main_ids
+
+
+# ---------------------------------------------------- AggRollupView
+
+ROLLUP_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("sum_n_tok", T.LongType()),
+])
+ROLLUP_COLS = [f.name for f in ROLLUP_SCHEMA]
+
+
+def _rollup_setup(spark, tmp_work, spec, n_base=300):
+    from canal_spark.views import AggRollupView, agg_rollup_frame
+
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    seed = agg_rollup_frame(bdf, "source", ("n_tok",))
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "rollup"),
+                          ROLLUP_SCHEMA, key_col="source", n_buckets=4,
+                          df=seed)
+    return base, log_dir, table, AggRollupView(vt, table, "source", ("n_tok",))
+
+
+def _expected_rollup(base, log_dir):
+    """Recompute-from-scratch: GROUP BY over the oracle's final state."""
+    expected, _cols = oracle_final_state(base, log_dir)
+    agg = {}
+    for row in expected.values():
+        g = row.get("source")
+        g = "(null)" if g is None else g
+        a = agg.setdefault(g, {"source": g, "n_docs": 0, "sum_n_tok": 0})
+        a["n_docs"] += 1
+        a["sum_n_tok"] += row.get("n_tok") or 0
+    return agg
+
+
+def _rollup_state(view):
+    return {r["source"]: {c: r[c] for c in ROLLUP_COLS}
+            for r in view.table.refresh().read().collect()}
+
+
+def test_agg_rollup_matches_recompute(spark, tmp_work):
+    """Replay with the rollup attached == GROUP BY recompute of the final
+    state — across inserts, group-CHANGING updates (the generator re-rolls
+    `source` on every update, so retraction from the old group is load-
+    bearing), deletes, pk-changes, and a DDL-split range."""
+    ddl = [(1500, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=3000, seed=81, events_per_file=1000,
+                      pk_change_frac=0.05, ddl_script=ddl)
+    base, log_dir, table, view = _rollup_setup(spark, tmp_work, spec)
+    stats = replay(spark, log_dir, table, batch_id="full", views=[view])
+    assert stats.ddls == 1
+    assert_state_equal(_rollup_state(view), _expected_rollup(base, log_dir),
+                       ROLLUP_COLS)
+
+
+def test_agg_rollup_idempotent_redelivery(spark, tmp_work):
+    """Un-ledgered full-log redelivery: every batch row loses the simulated
+    fence against the main table's parent snapshot → zero deltas → the
+    rollup provably does not move."""
+    spec = CdcLogSpec(n_events=2000, seed=82, events_per_file=500)
+    base, log_dir, table, view = _rollup_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _rollup_state(view)
+    assert_state_equal(before, _expected_rollup(base, log_dir), ROLLUP_COLS)
+    replay(spark, log_dir, table.refresh(), views=[view])  # no ledger
+    assert _rollup_state(view) == before
+
+
+def test_agg_rollup_stale_partial_redelivery(spark, tmp_work):
+    """A STALE subset of the log re-delivered alone must be a no-op: fence
+    simulation must read the main table's PARENT version (the state the
+    main merge fenced against), including tombstones of later-deleted docs
+    — a resurrected contribution would double-count its group."""
+    spec = CdcLogSpec(n_events=2000, seed=83, events_per_file=250,
+                      op_mix=(0.3, 0.45, 0.25))  # delete-heavy
+    base, log_dir, table, view = _rollup_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _rollup_state(view)
+    assert_state_equal(before, _expected_rollup(base, log_dir), ROLLUP_COLS)
+    first = sorted(f for f in os.listdir(log_dir)
+                   if f.endswith(".parquet"))[:1]
+    replay(spark, log_dir, table.refresh(), files=first, views=[view])
+    assert _rollup_state(view) == before
+
+
+def test_agg_rollup_truncate_propagates(spark, tmp_work):
+    """TRUNCATE empties the rollup; post-truncate DML rebuilds exactly the
+    surviving groups (zero-doc groups must not linger as zero rows)."""
+    ddl = [(1000, "TRUNCATE TABLE train.tokseq")]
+    spec = CdcLogSpec(n_events=2000, seed=84, ddl_script=ddl)
+    base, log_dir, table, view = _rollup_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, views=[view])
+    exp = _expected_rollup(base, log_dir)
+    assert_state_equal(_rollup_state(view), exp, ROLLUP_COLS)
+
+
+def test_agg_rollup_group_vanish_and_reappear(spark, tmp_work):
+    """A group whose last doc is deleted tombstones its rollup row; a later
+    insert into the same group resurrects it from zero (the view-side merge
+    stamp must beat the tombstone's LSN even though the insert's range-hi
+    is what it is)."""
+    from canal_spark.views import AggRollupView, agg_rollup_frame
+
+    rows = [("a1", [1, 2, 3], 3, "web"), ("a2", [4, 5], 2, "web"),
+            ("b1", [6], 1, "books")]
+    bdf = spark.createDataFrame(rows, TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=4, df=bdf)
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "rollup"),
+                          ROLLUP_SCHEMA, key_col="source", n_buckets=4,
+                          df=agg_rollup_frame(bdf, "source", ("n_tok",)))
+    view = AggRollupView(vt, table, "source", ("n_tok",))
+
+    def _apply(chg_rows, bid, hi):
+        chg = spark.createDataFrame(
+            chg_rows, "doc_id string, tokens array<int>, n_tok int, "
+                      "source string, op string, lsn string")
+        table.merge_apply(chg, batch_id=bid, max_lsn=hi)
+        view.apply(chg, batch_id=f"{bid}/v0", max_lsn=hi)
+
+    zero = "0" * 10
+    # delete both web docs -> web rollup row tombstones
+    _apply([("a1", None, None, None, "D", f"{zero}1"),
+            ("a2", None, None, None, "D", f"{zero}2")], "b1", f"{zero}2")
+    st = _rollup_state(view)
+    assert "web" not in st
+    assert st["books"] == {"source": "books", "n_docs": 1, "sum_n_tok": 1}
+    # insert a new web doc -> the group resurrects from zero
+    _apply([("a9", [7, 8, 9, 10], 4, "web", "U", f"{zero}3")],
+           "b2", f"{zero}3")
+    st = _rollup_state(view)
+    assert st["web"] == {"source": "web", "n_docs": 1, "sum_n_tok": 4}
+    # stale redelivery of the deletes (un-ledgered) must not move anything
+    _apply([("a1", None, None, None, "D", f"{zero}1")], None, None)
+    assert _rollup_state(view) == st
