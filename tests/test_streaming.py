@@ -262,3 +262,51 @@ def test_streaming_pack_index_kill_resume(spark, tmp_work):
                          r["pack_first"], r["pack_last"])
            for r in vt.refresh().read().collect()}
     assert got == exp
+
+
+def test_streaming_agg_rollup_kill_resume(spark, tmp_work):
+    """AggRollupView under Structured Streaming with auto-maintenance
+    interleaved: per-epoch signed deltas keep the per-source rollup
+    current; a hard kill + checkpoint resume (re-delivered epochs hit the
+    main ledger, so the view must fence against the PARENT snapshot of an
+    already-applied merge) converges to a GROUP BY recompute."""
+    from canal_spark.views import AggRollupView, agg_rollup_frame
+
+    spec = CdcLogSpec(n_events=2500, seed=27, events_per_file=400,
+                      pk_change_frac=0.03)
+    base, typed_dir, wire_dir, table = _setup(spark, tmp_work, spec)
+    rollup_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("sum_n_tok", T.LongType()),
+    ])
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    vt = LakeTable.create(
+        spark, os.path.join(tmp_work, "rollup"), rollup_schema,
+        key_col="source", n_buckets=4,
+        df=agg_rollup_frame(bdf, "source", ("n_tok",)))
+    ckpt = os.path.join(tmp_work, "ckpt")
+    kw = dict(max_files_per_trigger=1, maintenance_every=2,
+              views=[AggRollupView(vt, table, "source", ("n_tok",))])
+
+    sr1 = StreamingReplay(spark, wire_dir, table, ckpt, **kw)
+    q = sr1.start(available_now=True)
+    while len(sr1.metrics.read()) < 3:
+        q.awaitTermination(0.2)
+    q.stop()  # hard kill mid-stream
+
+    sr2 = StreamingReplay(spark, wire_dir, table.refresh(), ckpt, **kw)
+    sr2.run_to_completion()
+    sr2.flush_tail()
+    _check(table.refresh(), base, typed_dir)
+
+    expected, _cols = oracle_final_state(base, typed_dir)
+    exp = {}
+    for row in expected.values():
+        g = row.get("source") or "(null)"
+        a = exp.setdefault(g, [0, 0])
+        a[0] += 1
+        a[1] += row.get("n_tok") or 0
+    got = {r["source"]: [r["n_docs"], r["sum_n_tok"]]
+           for r in vt.refresh().read().collect()}
+    assert got == exp
