@@ -539,6 +539,39 @@ def agg_rollup_frame(df: DataFrame, group_col: str,
           .alias(f"sum_{c}") for c in sum_cols])
 
 
+def rollup_deltas(old: DataFrame, chg: DataFrame, key: str,
+                  sums: tuple) -> DataFrame:
+    """Signed per-group deltas of one batch against the old live images —
+    the core of AggRollupView.apply, split out so the plan audit can
+    assert its shape (SHUFFLE_HASH on the batch-bounded build side,
+    partial+final aggregate on the group key).
+
+    merge_apply's exact fence: the batch side wins iff no stored row or a
+    strictly newer LSN. Winners retract the old live contribution (−) and,
+    for upserts, add the new one (+)."""
+    j = old.join(chg.withColumnRenamed(key, "_ck").hint("SHUFFLE_HASH"),
+                 old[key] == F.col("_ck"), "full_outer") \
+           .where(F.col("op").isNotNull())
+    win = F.col("_o_lsn").isNull() | (F.col("lsn") > F.col("_o_lsn"))
+    minus = (
+        j.where(win & F.col("_o_lsn").isNotNull() & ~F.col("_o_del"))
+        .select(F.col("_o_g").alias("_g"), F.lit(-1).alias("_dn"),
+                *[(-F.coalesce(F.col(f"_o_{c}"), F.lit(0)))
+                  .alias(f"_ds_{c}") for c in sums]))
+    plus = (
+        j.where(win & (F.col("op") == "U"))
+        .select(F.col("_n_g").alias("_g"), F.lit(1).alias("_dn"),
+                *[F.coalesce(F.col(f"_n_{c}"), F.lit(0))
+                  .alias(f"_ds_{c}") for c in sums]))
+    return (
+        minus.unionByName(plus).groupBy("_g")
+        .agg(F.sum("_dn").cast("long").alias("_dn"),
+             *[F.sum(f"_ds_{c}").cast("long").alias(f"_ds_{c}")
+               for c in sums])
+        .where(" or ".join(["_dn != 0"]
+                           + [f"_ds_{c} != 0" for c in sums])))
+
+
 class AggRollupView:
     """An incrementally-maintained GROUP-BY rollup over the CDC'd table —
     classic retraction-based incremental view maintenance (count/sum are
@@ -631,31 +664,7 @@ class AggRollupView:
                     F.col("_source_lsn").alias("_o_lsn"),
                     F.coalesce(F.col("_deleted"), F.lit(False)).alias("_o_del"))
         )
-        # merge_apply's exact fence: the batch side wins iff no stored row
-        # or strictly newer LSN (full_outer + batch-bounded SHUFFLE_HASH
-        # build, the merge's measured join shape)
-        j = old.join(chg.withColumnRenamed(key, "_ck").hint("SHUFFLE_HASH"),
-                     old[key] == F.col("_ck"), "full_outer") \
-               .where(F.col("op").isNotNull())
-        win = F.col("_o_lsn").isNull() | (F.col("lsn") > F.col("_o_lsn"))
-        minus = (
-            j.where(win & F.col("_o_lsn").isNotNull() & ~F.col("_o_del"))
-            .select(F.col("_o_g").alias("_g"), F.lit(-1).alias("_dn"),
-                    *[(-F.coalesce(F.col(f"_o_{c}"), F.lit(0)))
-                      .alias(f"_ds_{c}") for c in sums]))
-        plus = (
-            j.where(win & (F.col("op") == "U"))
-            .select(F.col("_n_g").alias("_g"), F.lit(1).alias("_dn"),
-                    *[F.coalesce(F.col(f"_n_{c}"), F.lit(0))
-                      .alias(f"_ds_{c}") for c in sums]))
-        deltas = (
-            minus.unionByName(plus).groupBy("_g")
-            .agg(F.sum("_dn").cast("long").alias("_dn"),
-                 *[F.sum(f"_ds_{c}").cast("long").alias(f"_ds_{c}")
-                   for c in sums])
-            .where(" or ".join(["_dn != 0"]
-                               + [f"_ds_{c} != 0" for c in sums]))
-        ).persist()
+        deltas = rollup_deltas(old, chg, key, sums).persist()
         try:
             vrows = (deltas.select(
                 bucket_expr("_g", self.table.n_buckets).alias("_b"))

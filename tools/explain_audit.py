@@ -117,6 +117,28 @@ def main() -> int:
           curation.benchmark_contamination(docs, n=3, bench_mod=20),
           r"BroadcastExchange", r"HashAggregate")
 
+    # 9. agg-rollup deltas: the old-image x batch fence join is a shuffled
+    # hash join (batch-bounded build — never a sort-merge over the table
+    # side), and the per-group delta aggregate has a map-side partial
+    # before its Exchange (hot groups emit one row per upstream partition)
+    from canal_spark.views import rollup_deltas
+    old = docs.select(
+        F.col("doc_id"), F.col("source").alias("_o_g"),
+        F.length("text").cast("long").alias("_o_n_tok"),
+        F.lit("01").alias("_o_lsn"), F.lit(False).alias("_o_del"))
+    chg = docs.limit(100).select(
+        F.col("doc_id"), F.lit("U").alias("op"), F.lit("02").alias("lsn"),
+        F.col("source").alias("_n_g"),
+        F.length("text").cast("long").alias("_n_n_tok"))
+    roll_plan = plan_of(rollup_deltas(old, chg, "doc_id", ("n_tok",)))
+    out_lines.append(f"===== rollup_deltas =====\n{roll_plan}\n")
+    checks.append(("rollup_deltas: fence join is ShuffledHashJoin",
+                   "ShuffledHashJoin" in roll_plan, roll_plan))
+    checks.append(("rollup_deltas: partial+final hash aggregate on _g",
+                   re.search(r"(?s)HashAggregate.*partial_sum.*"
+                             r"Exchange.*hashpartitioning\(_g", roll_plan)
+                   is not None, roll_plan))
+
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
 
