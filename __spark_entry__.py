@@ -1024,6 +1024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _table(s, d, "embeddings"), _q_vecs(s, d), k=5)
     q["ann_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
         _table(s, d, "embeddings"), _q_vecs(s, d), k=5)
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _table(s, d, "embeddings"), _q_vecs(s, d), k=5,
+        n_centroids=16, n_probe=4)
     q["emb_near_pairs"] = lambda s, d: similarity.embedding_near_pairs(
         _table(s, d, "embeddings"), threshold_e3=350, use_lsh=True)
 
@@ -1301,6 +1304,8 @@ def oracle_sql() -> dict[str, str]:
         threshold_e3=350, use_lsh=True, n_planes=8)
     o["ann_lsh_topk"] = similarity.lsh_bucketed_topk_sql(
         k=5, n_planes=10, n_tables=4, query_pred="vec_id < 8")
+    o["ann_ivf_topk"] = similarity.ivf_topk_sql(
+        k=5, n_centroids=16, n_probe=4, query_pred="vec_id < 8")
 
     o["media_meta"] = multimodal.media_meta_plan_sql()
     o["media_frames"] = multimodal.frame_sample_plan_sql()

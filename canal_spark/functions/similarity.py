@@ -283,3 +283,115 @@ def embedding_near_pairs_sql(threshold_e3: int = 990, use_lsh: bool = True,
         SELECT id_a, id_b, CAST(FLOOR(sim * 1000) AS BIGINT) AS sim_e3
         FROM p WHERE FLOOR(sim * 1000) >= {threshold_e3}
     """
+
+
+# ------------------------------------------------------------------ IVF
+
+def ivf_centroid_seeds(emb: DataFrame, n_centroids: int,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF centroids: the ``n_centroids`` vectors whose
+    md5(id) sorts lowest — an order-stable sample both engines can name
+    (the DuckDB twin selects the identical rows), fixed-pointed to e6
+    int64. A Lloyd refinement would drop into the same assignment kernel
+    but float-averaged centroids break cross-engine exactness, so the
+    verified operator pins seed centroids; at 100 TB this is the standard
+    "IVF with sampled coarse quantizer" shape and the collect is C rows."""
+    rows = (emb.select(F.col(id_col).cast("string").alias("sid"),
+                       F.col(vec_col).alias("v"))
+            .withColumn("h", F.md5(F.col("sid")))
+            .orderBy("h", "sid").limit(n_centroids).collect())
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    return np.floor(M * 1_000_000).astype(np.int64)          # (C, d)
+
+
+def ivf_probe_udf(seeds: np.ndarray, n_probe: int):
+    """Arrow-batched coarse quantizer: embedding → the ``n_probe`` nearest
+    centroid ids by EXACT int64 inner product (e6 fixed point, products
+    bounded ≪ 2^53 so the DuckDB list_dot_product twin agrees bit-for-bit;
+    ties break to the lower centroid id via stable argsort). One (n,d)@(d,C)
+    matmul per batch — the centroid matrix rides the UDF closure, so at
+    1000 executors it ships once per worker like a broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        M = np.stack(col.to_numpy())
+        e6 = np.floor(M.astype(np.float64) * 1_000_000).astype(np.int64)
+        dots = e6 @ seeds.T                                  # (n, C) exact
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k — the second scale path beside LSH: every
+    vector is assigned to its nearest of ``n_centroids`` coarse centroids
+    (one Arrow matmul per batch, shuffle linear in |emb|), each query
+    probes its ``n_probe`` nearest cells, and the exact cosine re-rank
+    touches only ~n_probe/C of the corpus. ``n_probe == n_centroids``
+    degrades to exact brute force (the recall invariant the tests pin)."""
+    seeds = ivf_centroid_seeds(emb, n_centroids, id_col, vec_col)
+    assign = ivf_probe_udf(seeds, 1)
+    probe = ivf_probe_udf(seeds, n_probe)
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                   assign(F.col(vec_col)).getItem(0).alias("cid"))
+    qp = queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        F.explode(probe(F.col(vec_col))).alias("cid"))
+    cand = (c.join(F.broadcast(qp), "cid")
+            .where(F.col("n_id") != F.col("q_id")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        cand.withColumn("sim", cosine("q_vec", "n_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"),
+                F.floor(F.col("sim") * 1000).cast("long").alias("sim_e3"))
+    )
+
+
+def ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+                 query_pred: str = "vec_id < 8",
+                 table: str = "embeddings") -> str:
+    """DuckDB twin of ``ivf_topk``: identical seed selection (md5-ordered),
+    identical exact-integer coarse assignment, identical probe + re-rank."""
+    e6 = E6_SQL.format(vec="embedding")
+    cos = ("list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))"
+           " * sqrt(list_dot_product(c.v, c.v)))")
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v, {e6} AS e6
+                      FROM {table}),
+        seeds AS (SELECT e6 AS se6, ROW_NUMBER() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+                  FROM base
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                  LIMIT {n_centroids}),
+        ranked AS (SELECT b.vec_id, s.cid, ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.e6, s.se6) DESC, s.cid ASC
+                   ) AS rn
+                   FROM base b CROSS JOIN seeds s),
+        clus AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+        qprobe AS (SELECT vec_id AS q_id, cid FROM ranked
+                   WHERE rn <= {n_probe} AND vec_id IN
+                         (SELECT vec_id FROM {table} WHERE {query_pred})),
+        cand AS (SELECT q.q_id, c.vec_id AS n_id
+                 FROM qprobe q JOIN clus c ON c.cid = q.cid
+                 WHERE c.vec_id <> q.q_id),
+        scored AS (SELECT cand.q_id, cand.n_id, {cos} AS sim
+                   FROM cand
+                   JOIN base q ON q.vec_id = cand.q_id
+                   JOIN base c ON c.vec_id = cand.n_id)
+        SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+               CAST(FLOOR(sim * 1000) AS BIGINT) AS sim_e3
+        FROM (SELECT q_id, n_id, sim, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """

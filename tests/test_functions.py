@@ -128,6 +128,41 @@ class TestSimilarity:
         )
         assert hits >= 8, f"LSH recall on planted near-dups: {hits}/10"
 
+    def test_ivf_full_probe_equals_exact(self, spark):
+        """n_probe == n_centroids degrades IVF to brute force: probing
+        every cell makes the candidate set the whole corpus, so the result
+        must EQUAL cosine_topk row-for-row."""
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        qs = emb.where(F.col("vec_id") < 3)
+        exact = sorted(map(tuple, similarity.cosine_topk(emb, qs, k=5)
+                           .collect()))
+        ivf = sorted(map(tuple, similarity.ivf_topk(
+            emb, qs, k=5, n_centroids=8, n_probe=8).collect()))
+        assert ivf == exact
+
+    def test_ivf_recall_on_planted_near_dups(self, spark):
+        """Partial probe keeps recall on planted near-duplicates: a near-dup
+        (cos ~= 0.98) lands in the same or an adjacent cell, so probing a
+        quarter of the cells must still retrieve it as top-1."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(80, 32)).astype("float32")
+        rows = [(int(i), base[i].tolist()) for i in range(80)]
+        rows += [
+            (100 + i,
+             (base[i] + 0.05 * rng.normal(size=32).astype("float32")).tolist())
+            for i in range(10)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        qs = emb.where(F.col("vec_id") >= 100)
+        approx = similarity.ivf_topk(emb, qs, k=3,
+                                     n_centroids=8, n_probe=2).collect()
+        hits = sum(1 for i in range(10)
+                   if any(r["q_id"] == 100 + i and r["n_id"] == i
+                          for r in approx))
+        assert hits >= 8, f"IVF recall on planted near-dups: {hits}/10"
+
     def test_near_pairs_lsh_subset_of_exact(self, spark):
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         exact = {(r["id_a"], r["id_b"]) for r in
