@@ -109,7 +109,8 @@ def _group_shard_fixture(work: str):
 
 
 def _replayed_table(spark: SparkSession, sf_dir: str, work_name: str,
-                    n_events: int, seed: int, merge_mode: str = "cow"):
+                    n_events: int, seed: int, merge_mode: str = "cow",
+                    salt_partitions: int | None = None):
     """Tokenize DISTRIBUTED (mapInArrow over the documents scan), land the
     base table as parquet, and seed the LakeTable with a plain schema'd
     parquet read — the driver JVM never materializes a row. Round 1 went
@@ -139,15 +140,16 @@ def _replayed_table(spark: SparkSession, sf_dir: str, work_name: str,
     table = LakeTable.create(spark, os.path.join(work, "tokseq"),
                              BASE_SCHEMA, key_col="doc_id", n_buckets=8,
                              df=base_df, merge_mode=merge_mode)
-    replay(spark, log_dir, table.refresh())
+    replay(spark, log_dir, table.refresh(), salt_partitions=salt_partitions)
     return table.refresh(), base
 
 
 def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
                 n_events: int, seed: int, merge_mode: str = "cow",
-                maintain: bool = False) -> DataFrame:
+                maintain: bool = False,
+                salt_partitions: int | None = None) -> DataFrame:
     table, _ = _replayed_table(spark, sf_dir, work_name, n_events, seed,
-                               merge_mode)
+                               merge_mode, salt_partitions=salt_partitions)
     if maintain:
         # full maintenance pass (compact every multi-file bucket, fold MoR
         # delta chains, purge fenced tombstones, expire all but the last
@@ -1062,6 +1064,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_maintain_state"] = lambda s, d: _run_replay(
         s, d, "q_maintain", n_events=2000, seed=7, merge_mode="mor",
         maintain=True)
+    # same deterministic log through the explicit two-phase SALTED collapse
+    # (north-star skew clause: hot doc_ids salted before the merge-apply
+    # stage — groupBy(key, salt) partial max, then groupBy(key)); the final
+    # state is salt-invariant, so it value-checks against the SAME oracle
+    q["cdc_replay_state_salted"] = lambda s, d: _run_replay(
+        s, d, "q_replay_salt", n_events=2000, seed=7, salt_partitions=8)
     q["cdc_point_lookup"] = _run_point_lookup
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
@@ -1326,6 +1334,8 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_replay_state_mor"] = o["cdc_replay_state"]
         # maintenance must not change the state: same oracle again
         o["cdc_maintain_state"] = o["cdc_replay_state"]
+        # the salted two-phase collapse must be state-invariant too
+        o["cdc_replay_state_salted"] = o["cdc_replay_state"]
         o["cdc_point_lookup"] = _point_lookup_oracle_sql()
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()

@@ -47,8 +47,19 @@ def run_at(cores: int, zpath: str, log_dir: str, base_path: str,
     across cluster sizes — on a real cluster the partitioning of a fixed
     problem does not change with executor count, and letting it track cores
     conflates spill behavior with scaling (8-core runs spilled with 8 huge
-    reducers and made 32-core look super-linear)."""
-    table_dir = os.path.join(_REPO, ".work", f"scale_table_{cores}")
+    reducers and made 32-core look super-linear).
+
+    ``SPARK_SCALE_LOCAL_DIR`` (e.g. /dev/shm/spark-scale) moves shuffle
+    spill AND the sink table onto tmpfs. Rationale: this VM has ONE virtio
+    disk shared by every core, so the local[4N] leg pays the same disk
+    bandwidth as local[N] — but the BASELINE.json gate models N→4N
+    *executors*, and a real scale-up multiplies disks/network with the
+    executor count. tmpfs removes the artifact this sandbox cannot scale,
+    leaving the engine's own CPU/shuffle scaling observable."""
+    scratch = os.environ.get("SPARK_SCALE_LOCAL_DIR")
+    work = scratch if scratch else os.path.join(_REPO, ".work")
+    os.makedirs(work, exist_ok=True)
+    table_dir = os.path.join(work, f"scale_table_{cores}")
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -63,7 +74,7 @@ def run_at(cores: int, zpath: str, log_dir: str, base_path: str,
         "--conf", "spark.driver.memory=24g",
         "--driver-java-options", "-Xms20g",
         "--conf", "spark.ui.enabled=false",
-        "--conf", f"spark.local.dir={os.path.join(_REPO, '.work', 'spark-tmp')}",
+        "--conf", f"spark.local.dir={os.path.join(work, 'spark-tmp')}",
         "--py-files", zpath,
         os.path.join(_REPO, "tools", "replay_job.py"),
         log_dir, base_path, table_dir, "32", str(repeats), stage,
@@ -145,12 +156,15 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "steal_small_pct": small["steal_pct"],
         "steal_large_pct": large["steal_pct"],
+        "scratch": os.environ.get("SPARK_SCALE_LOCAL_DIR", "virtio-disk"),
         "target": ">=0.8 from N to 4N (BASELINE.json)",
     }
     print(json.dumps(result, indent=1))
     with open(os.path.join(_REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"| {small['events']} ({stage}) | local[{n_small}] {small['sec']}s "
+            f"| {small['events']} ({stage}"
+            f"{', tmpfs' if os.environ.get('SPARK_SCALE_LOCAL_DIR') else ''})"
+            f" | local[{n_small}] {small['sec']}s "
             f"{small['events_per_sec']} ev/s | local[{n_large}] "
             f"{large['sec']}s {large['events_per_sec']} ev/s | "
             f"{round(eff, 3)} (steal {small['steal_pct']}/{large['steal_pct']}%) |\n"
