@@ -275,6 +275,84 @@ def _view_sync_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+FILT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+# flips on ~half of the token-rewriting UPDATEs: every batch crosses the
+# predicate boundary in both directions
+FILT_PRED = "pmod(n_tok, 2) = 0"
+
+
+def _run_filtered_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level subscription condition kept consistent under CDC (the
+    adapters' ``etlCondition``, client-adapter/rdb/.../MappingConfig.java:107
+    + AbstractEtlService.java:47-53): a FilteredView holds exactly the main
+    rows satisfying the predicate — updates crossing the boundary insert or
+    DELETE in the view, which a plain stream-WHERE would get wrong. Returns
+    the view's final state; the oracle is the predicate-filter of the
+    sequential-apply expected state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import FilteredView
+
+    work = os.path.join(_WORK, "q_filtered_view")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=23), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    vt = LakeTable.create(
+        spark, os.path.join(work, "filt_view"), FILT_SCHEMA, n_buckets=8,
+        df=base_df.where(F.expr(FILT_PRED)).select("doc_id", "n_tok", "source"))
+    view = FilteredView(vt, FILT_PRED,
+                        input_types={"n_tok": T.IntegerType(),
+                                     "source": T.StringType()})
+    replay(spark, log_dir, table.refresh(), views=[view])
+    return view.table.refresh().read().select("doc_id", "n_tok", "source")
+
+
+def _filtered_view_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_filtered_view``: the sequential-apply python
+    oracle's final state, predicate-filtered (NULL ⇒ non-matching)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_filtered_view")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=23), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    rows = sorted((r for r in state.values()
+                   if r.get("n_tok") is not None and r["n_tok"] % 2 == 0),
+                  key=lambda r: r["doc_id"])
+    data = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "n_tok": pa.array([int(r["n_tok"]) for r in rows], pa.int32()),
+        "source": pa.array([r.get("source") for r in rows], pa.string()),
+    }
+    p = os.path.join(work, "expected.parquet")
+    os.makedirs(work, exist_ok=True)
+    pq.write_table(pa.table(data), p)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 def _run_group_replay(spark: SparkSession) -> DataFrame:
     """Sharded-upstream replay (GroupEventParser analog): two disjoint-key
     shard logs merge into one table in (execute_ts, shard, lsn) timeline
@@ -1073,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_point_lookup"] = _run_point_lookup
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
+    q["cdc_filtered_view"] = _run_filtered_view
     q["cdc_mirror_state"] = _run_mirror
     q["cdc_fingerprint_index"] = _run_fingerprint_index
     q["cdc_agg_rollup"] = _run_agg_rollup
@@ -1339,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_point_lookup"] = _point_lookup_oracle_sql()
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
+        o["cdc_filtered_view"] = _filtered_view_oracle_sql()
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
         o["cdc_agg_rollup"] = _agg_rollup_oracle_sql()

@@ -188,6 +188,63 @@ class TransformView:
                                       batch_id=batch_id, max_lsn=max_lsn)
 
 
+class FilteredView:
+    """Predicate-subscribed subset view — the adapters' row-level
+    ``etlCondition`` under CDC.
+
+    The reference restricts a sink mapping with a row-level SQL condition
+    (client-adapter/rdb/.../config/MappingConfig.java:107 ``etlCondition``,
+    applied to the full-ETL import in client-adapter/common/.../
+    AbstractEtlService.java:47-53), and the per-DML sync path then keeps
+    the target holding exactly the source rows satisfying it. Under CDC
+    this is NOT a ``WHERE`` on the change stream: an UPDATE that moves a
+    row OUT of the predicate must DELETE it from the view, and one moving
+    IN must insert it — a plain stream filter silently diverges from
+    ``filter(main)`` on every predicate-crossing update. FilteredView
+    re-classifies each net-effect upsert by the predicate evaluated on the
+    NEW image: matching → upsert, non-matching → tombstone (cheap no-op
+    when the key was never in the view; the compactor purges fenced
+    tombstones). Deletes pass through. Invariant (tested): the view equals
+    ``filter(final main state, predicate)`` after every commit.
+
+    ``predicate``: SQL boolean expression with WHERE semantics (NULL ⇒
+    non-matching), over the main table's columns — including columns the
+    view does not keep. The view's logical columns may be a projection of
+    the main table's (sink-side field projection, SURVEY §2 row 10).
+    ``input_types`` NULL-types any predicate/projection column that a DDL
+    could drop or rename away mid-stream (same contract as TransformView).
+    """
+
+    def __init__(self, view_table: LakeTable, predicate: str,
+                 input_types: dict | None = None):
+        self.table = view_table
+        self.predicate = predicate
+        self.input_types = dict(input_types or {})
+
+    def apply(self, net_changes: DataFrame, batch_id: str | None = None,
+              max_lsn: str | None = None) -> dict:
+        cols = self.table.logical_columns()
+        view_types = self.table.schema()
+        present = set(net_changes.columns)
+        missing = [F.lit(None).cast(t).alias(c)
+                   for c, t in self.input_types.items() if c not in present]
+        present |= {c for c, _ in self.input_types.items()}
+        sel = [F.col(c) if c in present
+               else F.lit(None).cast(view_types[c].dataType).alias(c)
+               for c in cols]
+        pred = F.coalesce(F.expr(self.predicate), F.lit(False))
+        # predicate evaluates against the FULL net row (pre-projection),
+        # so conditions on non-view columns work like the reference's
+        ups = net_changes.where(F.col("op") == "U").select("*", *missing)
+        reclassified = ups.select(
+            *sel, F.when(pred, F.lit("U")).otherwise(F.lit("D")).alias("op"),
+            "lsn")
+        dels = net_changes.where(F.col("op") == "D").select(
+            "*", *missing).select(*sel, "op", "lsn")
+        return self.table.merge_apply(reclassified.unionByName(dels),
+                                      batch_id=batch_id, max_lsn=max_lsn)
+
+
 def fingerprint_index_view(view_table: LakeTable) -> TransformView:
     """The standard curation index: ``doc_id, fp_md5 (md5 of the token
     array's canonical JSON — the portable rendering shared with the text

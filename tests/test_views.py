@@ -615,3 +615,86 @@ def test_agg_rollup_group_vanish_and_reappear(spark, tmp_work):
     # stale redelivery of the deletes (un-ledgered) must not move anything
     _apply([("a1", None, None, None, "D", f"{zero}1")], None, None)
     assert _rollup_state(view) == st
+
+
+# ---------------------------------------------------------- FilteredView
+
+from canal_spark.views import FilteredView  # noqa: E402
+
+FILT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+FILT_COLS = [f.name for f in FILT_SCHEMA]
+# flips on ~half of all token-rewriting UPDATEs → constant churn across
+# the predicate boundary, the case a plain stream-WHERE gets wrong
+FILT_PRED = "pmod(n_tok, 2) = 0"
+
+
+def _filtered_setup(spark, tmp_work, spec: CdcLogSpec, n_base=300):
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    # full-ETL import WITH the etlCondition (AbstractEtlService.java:47-53)
+    seeded = bdf.where(F.expr(FILT_PRED)).select(*FILT_COLS)
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "filt_view"),
+                          FILT_SCHEMA, n_buckets=8, df=seeded)
+    view = FilteredView(vt, FILT_PRED,
+                        input_types={"n_tok": T.IntegerType(),
+                                     "source": T.StringType()})
+    return base, log_dir, table, view
+
+
+def _expected_filtered(base, log_dir):
+    expected, _cols = oracle_final_state(base, log_dir)
+    out = {}
+    for doc_id, row in expected.items():
+        nt = row.get("n_tok")
+        if nt is not None and nt % 2 == 0:  # NULL ⇒ non-matching (WHERE)
+            out[doc_id] = {"doc_id": doc_id, "n_tok": nt,
+                           "source": row.get("source")}
+    return out
+
+
+def test_filtered_view_matches_filter_of_final_state(spark, tmp_work):
+    """view == filter(final main state) across predicate-crossing updates,
+    deletes, pk-changes, and a DDL-split range — and the log must actually
+    exercise BOTH crossing directions for the test to mean anything."""
+    ddl = [(1500, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=3000, seed=45, events_per_file=1000,
+                      pk_change_frac=0.05, ddl_script=ddl)
+    base, log_dir, table, view = _filtered_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+
+    exp_view = _expected_filtered(base, log_dir)
+    assert_state_equal(_view_state(view), exp_view, FILT_COLS)
+
+    # churn proof: keys that started matching and ended non-matching while
+    # STILL ALIVE in the main table (move-out ⇒ the view had to delete),
+    # and the reverse (move-in ⇒ the view had to insert)
+    final, _ = oracle_final_state(base, log_dir)
+    base_match = {d for d, n in zip(base.column("doc_id").to_pylist(),
+                                    base.column("n_tok").to_pylist())
+                  if n % 2 == 0}
+    moved_out = [d for d in base_match
+                 if d in final and final[d]["n_tok"] % 2 == 1]
+    moved_in = [d for d in final
+                if d not in base_match and final[d]["n_tok"] % 2 == 0]
+    assert moved_out and moved_in, (len(moved_out), len(moved_in))
+
+
+def test_filtered_view_idempotent_redelivery(spark, tmp_work):
+    """Duplicate delivery of the whole log leaves the filtered view
+    unchanged — its own per-key LSN fence absorbs replays, including the
+    predicate-crossing tombstones."""
+    spec = CdcLogSpec(n_events=2000, seed=46, events_per_file=500)
+    base, log_dir, table, view = _filtered_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _view_state(view)
+    replay(spark, log_dir, table, views=[view])  # no ledger: fence only
+    assert _view_state(view) == before
+    assert_state_equal(before, _expected_filtered(base, log_dir), FILT_COLS)
