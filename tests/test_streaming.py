@@ -310,3 +310,49 @@ def test_streaming_agg_rollup_kill_resume(spark, tmp_work):
     got = {r["source"]: [r["n_docs"], r["sum_n_tok"]]
            for r in vt.refresh().read().collect()}
     assert got == exp
+
+
+def test_streaming_filtered_view_kill_resume(spark, tmp_work):
+    """FilteredView under Structured Streaming: predicate-crossing updates
+    land as view inserts/deletes per micro-batch; a hard kill + checkpoint
+    resume (re-delivered epochs ledger-no-op on the main table while the
+    view fences per key) converges to filter(final state, predicate)."""
+    from canal_spark.views import FilteredView
+
+    PRED = "pmod(n_tok, 2) = 0"
+    filt_schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    spec = CdcLogSpec(n_events=2500, seed=28, events_per_file=400,
+                      pk_change_frac=0.03)
+    base, typed_dir, wire_dir, table = _setup(spark, tmp_work, spec)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    from pyspark.sql import functions as F
+    vt = LakeTable.create(
+        spark, os.path.join(tmp_work, "filt_view"), filt_schema, n_buckets=8,
+        df=bdf.where(F.expr(PRED)).select("doc_id", "n_tok", "source"))
+    ckpt = os.path.join(tmp_work, "ckpt")
+    kw = dict(max_files_per_trigger=1,
+              views=[FilteredView(vt, PRED,
+                                  input_types={"n_tok": T.IntegerType(),
+                                               "source": T.StringType()})])
+
+    sr1 = StreamingReplay(spark, wire_dir, table, ckpt, **kw)
+    q = sr1.start(available_now=True)
+    while len(sr1.metrics.read()) < 3:
+        q.awaitTermination(0.2)
+    q.stop()  # hard kill mid-stream
+
+    sr2 = StreamingReplay(spark, wire_dir, table.refresh(), ckpt, **kw)
+    sr2.run_to_completion()
+    sr2.flush_tail()
+    _check(table.refresh(), base, typed_dir)
+
+    expected, _cols = oracle_final_state(base, typed_dir)
+    exp = {d: (r["n_tok"], r.get("source")) for d, r in expected.items()
+           if r.get("n_tok") is not None and r["n_tok"] % 2 == 0}
+    got = {r["doc_id"]: (r["n_tok"], r["source"])
+           for r in vt.refresh().read().collect()}
+    assert got == exp
