@@ -353,6 +353,87 @@ def _filtered_view_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+def _run_wire_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ delivery semantics as a file topic (SURVEY §2 rows 28-30 +
+    row 22 routing, canal_spark/sinks.py): publish the deterministic log's
+    DML through WireMessageSink — pmod(h60(pk), 8) partition routing
+    (MQMessageUtils.messagePartition analog, md5-portable so DuckDB
+    reproduces it exactly), per-partition LSN-ordered dense sequences,
+    epoch-keyed exactly-once — then read the topic back and return every
+    message's (p, seq, pk, event_type, gtid_seq)."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import prepare_envelope, read_event_log
+    from canal_spark.sinks import WireMessageSink
+
+    work = os.path.join(_WORK, "q_wire_topic")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=31), base=base)
+    sink = WireMessageSink(os.path.join(work, "topic"), n_partitions=8)
+    sink.publish(prepare_envelope(read_event_log(spark, log_dir)),
+                 "000000000")
+    return sink.read(spark).select(
+        F.col("p").cast("int").alias("p"),
+        F.col("seq").cast("int").alias("seq"),
+        F.col("pk"), F.col("event_type"), F.col("gtid_seq"))
+
+
+def _wire_topic_oracle_sql() -> str:
+    """DuckDB twin: same routing hash, same (gtid, file, pos) order — the
+    lsn string is BUILT from that tuple with order-preserving padding
+    (canal_spark/lsn.py), so ORDER BY the tuple reproduces seq exactly."""
+    from canal_spark.functions.hashing import h60_sql
+
+    work = os.path.join(_WORK, "oracle_wire_topic")
+    shutil.rmtree(work, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+
+    import glob as _glob
+
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=31), base=base)
+    # one SELECT per segment UNION ALL'd: the mid-log DDLs widen the image
+    # structs, so later segments carry more fields and DuckDB cannot unify
+    # the struct column across files — but each projection only probes
+    # doc_id, which every segment has
+    seg = "\n            UNION ALL ".join(
+        f"""SELECT coalesce(after.doc_id, before.doc_id) AS pk,
+                   event_type, gtid_seq, binlog_file, binlog_pos,
+                   entry_type, is_ddl, schema_name, table_name
+            FROM read_parquet('{p}')"""
+        for p in sorted(_glob.glob(
+            os.path.join(log_dir, "mysql-bin.*.parquet"))))
+    return f"""
+        WITH dml AS (
+            SELECT pk, event_type, gtid_seq, binlog_file, binlog_pos
+            FROM ({seg})
+            WHERE entry_type = 'ROWDATA'
+              AND NOT coalesce(is_ddl, false)
+              AND event_type IN ('INSERT', 'UPDATE', 'DELETE')
+              AND regexp_matches(schema_name || '.' || table_name,
+                                 '^train\\.tokseq$')
+        )
+        SELECT CAST({h60_sql('pk')} % 8 AS INT) AS p,
+               CAST(row_number() OVER (
+                   PARTITION BY {h60_sql('pk')} % 8
+                   ORDER BY gtid_seq, binlog_file, binlog_pos) AS INT) AS seq,
+               pk, event_type, gtid_seq
+        FROM dml
+    """
+
+
 def _run_group_replay(spark: SparkSession) -> DataFrame:
     """Sharded-upstream replay (GroupEventParser analog): two disjoint-key
     shard logs merge into one table in (execute_ts, shard, lsn) timeline
@@ -1152,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
     q["cdc_filtered_view"] = _run_filtered_view
+    q["cdc_wire_topic"] = _run_wire_topic
     q["cdc_mirror_state"] = _run_mirror
     q["cdc_fingerprint_index"] = _run_fingerprint_index
     q["cdc_agg_rollup"] = _run_agg_rollup
@@ -1419,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
         o["cdc_filtered_view"] = _filtered_view_oracle_sql()
+        o["cdc_wire_topic"] = _wire_topic_oracle_sql()
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
         o["cdc_agg_rollup"] = _agg_rollup_oracle_sql()
