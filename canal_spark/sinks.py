@@ -54,10 +54,17 @@ class WireMessageSink:
     """A file topic: ``out_dir/epoch=<key>/p=<k>/part-*.json``."""
 
     def __init__(self, out_dir: str, n_partitions: int = 8,
-                 key: str = "doc_id"):
+                 key: str = "doc_id",
+                 table_regex: str | None = r"^train\.tokseq$"):
         self.out_dir = os.path.abspath(out_dir)
         self.n_partitions = n_partitions
         self.key = key
+        # the topic's own subscription (one topic = one table, the static
+        # canal.mq.topic mapping): the streaming envelope may deliberately
+        # carry foreign-table events to the txn barrier, and the merge gates
+        # them later — the topic must gate them here, by the same regex
+        # contract as the merge subscription
+        self.table_regex = table_regex
         os.makedirs(self.out_dir, exist_ok=True)
 
     # ------------------------------------------------------------ publish
@@ -78,6 +85,10 @@ class WireMessageSink:
             & ~F.coalesce(F.col("is_ddl"), F.lit(False))
             & F.col("event_type").isin("INSERT", "UPDATE", "DELETE")
         )
+        if self.table_regex:
+            ev = ev.where(F.concat_ws(
+                ".", F.col("schema_name"), F.col("table_name")
+            ).rlike(self.table_regex))
         # unify to the wire shape (JSON images + native pk envelope);
         # wire frames pass through to_wire untouched (images already strings)
         if isinstance(ev.schema["after"].dataType, T.StructType):

@@ -129,6 +129,7 @@ class GroupStreamingReplay:
         max_files_per_trigger: int = 1,
         salt_partitions: int | None = None,
         views: list | None = None,
+        message_sinks: list | None = None,
         maintenance_every: int | None = None,
         max_files_per_bucket: int = 8,
         snapshots_keep: int = 4,
@@ -142,6 +143,11 @@ class GroupStreamingReplay:
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
         self.views = list(views or [])
+        # WireMessageSink topics fed the BARRIER-RELEASED events with their
+        # merged timeline LSN — downstream consumers see one ordered,
+        # txn-consistent stream regardless of shard count (the group
+        # parser's whole point); epoch-keyed dirs keep redelivery no-op
+        self.message_sinks = list(message_sinks or [])
         self.maintenance_every = maintenance_every
         self.max_files_per_bucket = max_files_per_bucket
         self.snapshots_keep = snapshots_keep
@@ -209,6 +215,9 @@ class GroupStreamingReplay:
                 wire=True,
                 views=self.views,
             )
+            if n_rows:
+                for s in self.message_sinks:
+                    s.publish(released, f"{epoch_id:09d}")
             # tail spill AFTER the merge committed (crash ⇒ epoch replays,
             # ledger no-ops, same tail rebuilt) — native lsn kept, the
             # merged lsn is recomputed on release

@@ -121,3 +121,47 @@ def test_streaming_wire_sink_kill_resume(spark, tmp_work):
         consumer_order = sorted(ms, key=lambda m: (m["epoch"], m["seq"]))
         assert [m["lsn"] for m in consumer_order] == sorted(
             m["lsn"] for m in ms), pk
+
+
+def test_group_streaming_wire_sink_timeline(spark, tmp_work):
+    """Sharded upstream feeding one topic: the barrier-released events
+    publish with their MERGED timeline LSN, so a consumer of any partition
+    sees a single txn-consistent stream — per-key order == execute-time
+    order across shards, delivery exactly-once."""
+    from canal_spark.streaming.group import GroupStreamingReplay
+    from tests.test_group_streaming import _setup_shards, _check as _gcheck
+
+    bases, typed_dirs, wire_dirs, table = _setup_shards(
+        spark, tmp_work, events_per_shard=[900, 600], seed=53)
+    sink = WireMessageSink(os.path.join(tmp_work, "topic"), N_PART)
+    gr = GroupStreamingReplay(
+        spark, wire_dirs, table, os.path.join(tmp_work, "ckpt"),
+        max_files_per_trigger=1, message_sinks=[sink])
+    gr.run_to_completion()
+    gr.flush_tail()
+    _gcheck(table.refresh(), bases, typed_dirs)
+
+    # exactly-once across shards: one message per subscribed DML event
+    n_dml = 0
+    for d in typed_dirs:
+        ev = prepare_envelope(read_event_log(spark, d))
+        n_dml += ev.where(
+            (F.col("entry_type") == "ROWDATA")
+            & ~F.coalesce(F.col("is_ddl"), F.lit(False))
+            & F.col("event_type").isin("INSERT", "UPDATE", "DELETE")
+        ).count()
+    msgs = _messages(sink, spark)
+    assert len(msgs) == n_dml
+    assert len({m["lsn"] for m in msgs}) == n_dml  # merged LSNs unique
+
+    # consumer order per key == merged-timeline (execute-time) order
+    per_key = {}
+    for m in msgs:
+        per_key.setdefault(m["pk"], []).append(m)
+    for pk, ms in per_key.items():
+        assert len({m["p"] for m in ms}) == 1
+        consumer = sorted(ms, key=lambda m: (m["epoch"], m["seq"]))
+        lsns = [m["lsn"] for m in consumer]
+        assert lsns == sorted(lsns), pk
+        ts = [m["execute_ts"] for m in consumer]
+        assert ts == sorted(ts), pk
