@@ -139,6 +139,27 @@ def main() -> int:
                              r"Exchange.*hashpartitioning\(_g", roll_plan)
                    is not None, roll_plan))
 
+    # 10. wire topic publish: exactly ONE exchange (the window's hash
+    # partition on p) — routing + sequencing is linear in the batch
+    from canal_spark.operators.lww import changes_from_events as _  # noqa: F401
+    from canal_spark.operators.decode import to_wire
+    from canal_spark.functions.hashing import h60
+    from pyspark.sql import Window
+
+    dml = events.where(~F.col("is_ddl") & F.col("event_type").isin(
+        "INSERT", "UPDATE", "DELETE"))
+    wev = to_wire(dml)
+    pkc = F.coalesce(F.col("pk_after"), F.col("pk_before"))
+    routed = wev.select(
+        F.pmod(h60(pkc), F.lit(8)).alias("p"), pkc.alias("pk"), "lsn")
+    topic = routed.withColumn(
+        "seq", F.row_number().over(Window.partitionBy("p").orderBy("lsn")))
+    topic_plan = plan_of(topic)
+    out_lines.append(f"===== wire_topic_publish =====\n{topic_plan}\n")
+    checks.append(("wire_topic_publish: single exchange (window on p)",
+                   len(re.findall(r"\(\d+\) Exchange", topic_plan)) == 1,
+                   topic_plan))
+
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
 
