@@ -40,6 +40,7 @@ def test_wire_sink_routing_order_and_idempotence(spark, tmp_work):
     ev = prepare_envelope(read_event_log(spark, log_dir))
 
     sink = WireMessageSink(os.path.join(tmp_work, "topic"), N_PART)
+    assert sink.read(spark).count() == 0  # empty topic: schema'd, no rows
     res = sink.publish(ev, "000000000")
     assert not res["skipped"]
 
