@@ -268,6 +268,12 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
     hot = live_keys[: spec.hot_keys]
 
     extra_cols: list[str] = []                  # widened by ADD COLUMN DDLs
+    # declared type family per added column: values travel as STRINGS (the
+    # FlatMessage model — every data value is a string on the wire; the
+    # sink casts to its column type, client-adapter rdb row-39 analog) but
+    # MySQL could never emit a non-numeric string for an INT column, so the
+    # generated value must conform to the declared type
+    extra_types: dict[str, str] = {}
     renames: dict[str, str] = {}
     # the emitted table name follows RENAME TABLE (rename-follow end-to-end:
     # post-rename DML arrives under the NEW name, as MySQL would write it)
@@ -307,7 +313,13 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
             "n_tok": n, "tok_lo": lo, "tok_hi": hi,
         }
         for c in extra_cols:
-            img[c] = f"{c[:2]}{int(rng.integers(0, 26)):02d}"
+            if extra_types.get(c) == "int":
+                img[c] = str(int(rng.integers(0, 1000)))
+            elif extra_types.get(c) == "float":
+                # dot-decimal with 2 digits: exact in float64 compare
+                img[c] = f"{int(rng.integers(0, 10000))}.{int(rng.integers(0, 100)):02d}"
+            else:
+                img[c] = f"{c[:2]}{int(rng.integers(0, 26)):02d}"
         return img
 
     def pick_live() -> str | None:
@@ -349,12 +361,17 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
         nonlocal seg
         import re
         up = sql.strip().rstrip(";")
-        m = re.match(r"(?i)alter\s+table\s+\S+\s+add\s+column\s+(\w+)\s+\w+", up)
+        m = re.match(r"(?i)alter\s+table\s+\S+\s+add\s+column\s+(\w+)\s+(\w+)", up)
         if m:
-            col = m.group(1)
+            col, dtype = m.group(1), m.group(2).lower()
             # segment roll: subsequent files carry the widened struct
             roll_segment(force=True)
             extra_cols.append(col)
+            if dtype in ("int", "integer", "bigint", "smallint", "tinyint",
+                         "mediumint"):
+                extra_types[col] = "int"
+            elif dtype in ("float", "double", "real"):
+                extra_types[col] = "float"
             seg = _SegmentBuffer(extra_cols)
             return
         m = re.match(r"(?i)alter\s+table\s+\S+\s+rename\s+column\s+(\w+)\s+to\s+(\w+)", up)
@@ -364,6 +381,8 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
             if old in extra_cols:
                 roll_segment(force=True)
                 extra_cols[extra_cols.index(old)] = new
+                if old in extra_types:
+                    extra_types[new] = extra_types.pop(old)
                 for img in live.values():
                     if old in img:
                         img[new] = img.pop(old)
@@ -375,6 +394,7 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
             if col in extra_cols:
                 roll_segment(force=True)
                 extra_cols.remove(col)
+                extra_types.pop(col, None)
                 for img in live.values():
                     img.pop(col, None)
                 seg = _SegmentBuffer(extra_cols)

@@ -43,6 +43,24 @@ def to_wire(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return out
 
 
+def tolerant_wire_schema(image_schema: T.StructType) -> T.StructType:
+    """Wire-tolerant decode schema: scalar fields decode as STRING, to be
+    cast to the declared type afterwards. Rationale: the FlatMessage model
+    quotes EVERY value, and `from_json` NULLs a quoted numeric under a
+    numeric field instead of coercing — while it does coerce an unquoted
+    JSON number to its text under a STRING field, so both quoting
+    conventions land in the same string. Strings stay strings; binary keeps
+    BinaryType (from_json base64-decodes it — a post-hoc string cast would
+    wrongly take the UTF-8 bytes of the base64 TEXT); containers keep their
+    shape (JSON arrays are unambiguous)."""
+    keep = (T.StringType, T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+    return T.StructType([
+        f if isinstance(f.dataType, keep)
+        else T.StructField(f.name, T.StringType(), True)
+        for f in image_schema.fields
+    ])
+
+
 def decode_images(df: DataFrame, image_schema: T.StructType) -> DataFrame:
     """Wire shape → typed: vectorized JSON decode with the live schema.
 

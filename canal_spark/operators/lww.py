@@ -205,11 +205,20 @@ def wire_net_changes(events: DataFrame, key: str,
     parts = F.split(F.col("_p"), "\x01", 3)
     # deletes pack no payload (2 parts) — F.get returns NULL out-of-bounds
     # where getItem would throw under ANSI
-    img = F.from_json(F.get(parts, 2), image_schema, _JSON_OPTS)
+    from canal_spark.operators.decode import tolerant_wire_schema
+
+    # decode scalars as STRING then cast to the declared type: the wire may
+    # quote any value (FlatMessage quotes ALL of them; DDL-added columns
+    # ride as strings in the typed fixture too), and from_json NULLs a
+    # quoted numeric under a numeric field instead of coercing — the cast
+    # is the sink-type conversion the adapters do anyway (SURVEY §2 row 39)
+    img = F.from_json(F.get(parts, 2), tolerant_wire_schema(image_schema),
+                      _JSON_OPTS)
+    types = {f.name: f.dataType for f in image_schema.fields}
     data_cols = [f.name for f in image_schema.fields if f.name != key]
     return final.select(
         key,
-        *[img.getItem(c).alias(c) for c in data_cols],
+        *[img.getItem(c).cast(types[c]).alias(c) for c in data_cols],
         parts.getItem(1).alias("op"),
         parts.getItem(0).alias("lsn"),
     )

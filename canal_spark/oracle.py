@@ -35,6 +35,12 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
     """
     state = dict(base_rows)
     cols = list(columns or BASE_COLS)
+    # sink-side type cast for DDL-added columns (client-adapter rdb
+    # target-type cache analog, SURVEY §2 row 39): wire values are strings
+    # (FlatMessage model); the engine casts incoming changes to the sink
+    # column's declared type at MERGE time (table/lake.py), so the oracle
+    # must coerce identically or an INT column would compare '42' vs 42
+    coerce: dict[str, type] = {}
     # the subscription follows RENAME TABLE (rename-follow, like the
     # engine's SchemaTracker): DML under the new name keeps applying, DML
     # under the stale old name stops
@@ -54,19 +60,27 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
             for cmd in parse_ddl_statements(ev["sql"] or ""):
                 if cmd.kind == "ADD_COLUMN" and cmd.column not in cols:
                     _insert_at(cols, cmd.column, cmd.position)
+                    fn = _coercer_of(cmd.dtype)
+                    if fn is not None:
+                        coerce[cmd.column] = fn
                     for row in state.values():
                         row.setdefault(cmd.column, None)
                 elif cmd.kind == "RENAME_COLUMN" and cmd.column in cols:
                     cols[cols.index(cmd.column)] = cmd.new_name
+                    if cmd.column in coerce:
+                        coerce[cmd.new_name] = coerce.pop(cmd.column)
                     for row in state.values():
                         row[cmd.new_name] = row.pop(cmd.column, None)
                 elif cmd.kind == "CHANGE_COLUMN" and cmd.column in cols:
                     cols[cols.index(cmd.column)] = cmd.new_name
+                    if cmd.column in coerce:
+                        coerce[cmd.new_name] = coerce.pop(cmd.column)
                     for row in state.values():
                         row[cmd.new_name] = row.pop(cmd.column, None)
                 elif (cmd.kind == "DROP_COLUMN" and cmd.column in cols
                       and cmd.column not in BASE_COLS):
                     cols.remove(cmd.column)
+                    coerce.pop(cmd.column, None)
                     for row in state.values():
                         row.pop(cmd.column, None)
                 elif cmd.kind == "TRUNCATE":
@@ -84,13 +98,13 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
         op = ev["event_type"]
         before, after = ev.get("before"), ev.get("after")
         if op == "INSERT":
-            state[after["doc_id"]] = _project(after, cols)
+            state[after["doc_id"]] = _project(after, cols, coerce)
         elif op == "UPDATE":
             # pk-change = delete old key + insert new key
             # (RdbSyncService.java:446-469 analog)
             if before and before["doc_id"] != after["doc_id"]:
                 state.pop(before["doc_id"], None)
-            state[after["doc_id"]] = _project(after, cols)
+            state[after["doc_id"]] = _project(after, cols, coerce)
         elif op == "DELETE":
             state.pop(before["doc_id"], None)
     return state, cols
@@ -107,10 +121,26 @@ def _insert_at(cols: list[str], name: str,
     cols.insert(idx, name)
 
 
-def _project(img: dict, cols: list[str]) -> dict:
+def _coercer_of(dtype) -> type | None:
+    """Python-side twin of the sink's cast-to-declared-type (lake MERGE)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType,
+                          T.ByteType)):
+        return int
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float
+    return None
+
+
+def _project(img: dict, cols: list[str],
+             coerce: dict[str, type] | None = None) -> dict:
     row = {c: img.get(c) for c in cols}
     if isinstance(row.get("tokens"), list):
         row["tokens"] = tuple(row["tokens"])
+    for c, fn in (coerce or {}).items():
+        if row.get(c) is not None:
+            row[c] = fn(row[c])
     return row
 
 

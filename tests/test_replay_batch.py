@@ -8,6 +8,7 @@ token-array equality per doc_id.
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canal_spark.fixtures import CdcLogSpec, generate_base_table, generate_cdc_log
@@ -388,3 +389,38 @@ def test_stale_old_name_dml_ignored_after_rename(spark, tmp_work):
                            table.logical_columns())
     assert victim in actual  # the stale-name DELETE did not land
     assert_state_equal(actual, expected, cols)
+
+
+def test_typed_added_columns_int_and_float(spark, tmp_work):
+    """DDL-added columns with NUMERIC declared types, found by the fuzz
+    harness: wire values travel as strings (FlatMessage model), the
+    generator emits type-conforming strings, the sink casts to the
+    declared type at MERGE (SURVEY §2 row 39), and the oracle coerces
+    identically. Covers BOTH replay paths — typed (cast at merge) and
+    wire (tolerant string decode + cast, operators/lww.py)."""
+    from canal_spark.operators.decode import convert_log_to_wire
+
+    spec = CdcLogSpec(
+        n_events=900, seed=61, events_per_file=250, pk_change_frac=0.05,
+        ddl_script=[
+            (150, "ALTER TABLE train.tokseq ADD COLUMN rank_i INT"),
+            (450, "ALTER TABLE train.tokseq ADD COLUMN score_f DOUBLE"),
+        ])
+    base, log_dir, table = _setup(spark, tmp_work, spec)
+    stats = replay(spark, log_dir, table, batch_id="typed")
+    assert stats.ddls == 2
+    table = table.refresh()
+    _check(spark, table, base, log_dir)
+    # the evolved columns really are typed AND populated on the sink
+    sch = {f.name: f.dataType.simpleString() for f in table.read().schema}
+    assert sch["rank_i"] == "int" and sch["score_f"] == "double"
+    assert table.read().where(F.col("rank_i").isNotNull()).count() > 0
+
+    # same log through the WIRE path (fused string-payload collapse)
+    wire_dir = os.path.join(tmp_work, "wire")
+    convert_log_to_wire(spark, log_dir, wire_dir)
+    table2 = LakeTable.create(
+        spark, os.path.join(tmp_work, "tokseq2"), TOKSEQ_SCHEMA, n_buckets=8,
+        df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
+    replay(spark, wire_dir, table2, batch_id="wire", wire=True)
+    _check(spark, table2.refresh(), base, log_dir)
