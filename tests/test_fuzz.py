@@ -83,3 +83,51 @@ def test_fuzz_replay_matches_oracle(spark, seed, n_events, n_base, ins, upd,
         assert_state_equal(actual, expected, cols)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(20, 600),
+    n_base=st.integers(5, 120),
+    hot_frac=st.sampled_from([0.0, 0.95]),
+    pk_change_frac=st.sampled_from([0.0, 0.3]),
+    events_per_file=st.integers(11, 300),
+    ddl=st.none() | st.tuples(st.integers(0, 600), st.sampled_from(_DDLS)),
+    salt=st.sampled_from([None, 4]),
+)
+def test_fuzz_wire_replay_matches_oracle(spark, seed, n_events, n_base,
+                                         hot_frac, pk_change_frac,
+                                         events_per_file, ddl, salt):
+    """Same property through the WIRE path (the streaming hot path: fused
+    string-payload collapse → tolerant decode → sink-type cast), with the
+    salted two-phase collapse in the mix."""
+    from canal_spark.operators.decode import convert_log_to_wire
+
+    spec = CdcLogSpec(
+        n_events=n_events, seed=seed, hot_frac=hot_frac,
+        pk_change_frac=pk_change_frac, events_per_file=events_per_file,
+        other_table_frac=0.05,
+        ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
+    )
+    work = os.path.join(WORK, f"wfuzz_{seed}_{n_events}_{events_per_file}")
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        base = generate_base_table(n_base, seed=seed)
+        log_dir = os.path.join(work, "log")
+        generate_cdc_log(log_dir, spec, base)
+        wire_dir = os.path.join(work, "wire")
+        convert_log_to_wire(spark, log_dir, wire_dir)
+        table = LakeTable.create(
+            spark, os.path.join(work, "tokseq"), TOKSEQ_SCHEMA, n_buckets=4,
+            df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
+        replay(spark, wire_dir, table, wire=True, salt_partitions=salt)
+        table = table.refresh()
+
+        expected, cols = oracle_final_state(base, log_dir)
+        assert table.logical_columns() == cols
+        actual = rows_to_state(table.read().collect(), cols)
+        assert_state_equal(actual, expected, cols)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
