@@ -11,6 +11,7 @@ DDL_Test.java) — here the randomization covers the whole apply pipeline:
 envelope filter → DDL-split ranges → LWW collapse → LSN-fenced MERGE.
 """
 
+import itertools
 import os
 import shutil
 
@@ -23,6 +24,14 @@ from canal_spark.oracle import oracle_final_state
 from canal_spark.pipeline import replay
 from canal_spark.table.lake import LakeTable
 from tests.conftest import WORK, assert_state_equal, rows_to_state
+
+# one work dir per EXAMPLE, never reused: Spark caches persisted plans by
+# file path, so re-running a shrunk example at a path an earlier example
+# used (same seed/n_events/epf, different op mix) would read the OLD
+# table's cached rows — a harness artifact that looks exactly like an
+# engine wrong-answer (diagnosed via a clean standalone repro of the
+# "failing" spec)
+_RUN = itertools.count()
 
 TOKSEQ_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -65,7 +74,7 @@ def test_fuzz_replay_matches_oracle(spark, seed, n_events, n_base, ins, upd,
         other_table_frac=0.05,
         ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
     )
-    work = os.path.join(WORK, f"fuzz_{seed}_{n_events}_{events_per_file}")
+    work = os.path.join(WORK, f"fuzz_{next(_RUN)}_{seed}_{n_events}")
     shutil.rmtree(work, ignore_errors=True)
     try:
         base = generate_base_table(n_base, seed=seed)
@@ -111,7 +120,7 @@ def test_fuzz_wire_replay_matches_oracle(spark, seed, n_events, n_base,
         other_table_frac=0.05,
         ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
     )
-    work = os.path.join(WORK, f"wfuzz_{seed}_{n_events}_{events_per_file}")
+    work = os.path.join(WORK, f"wfuzz_{next(_RUN)}_{seed}_{n_events}")
     shutil.rmtree(work, ignore_errors=True)
     try:
         base = generate_base_table(n_base, seed=seed)
