@@ -140,3 +140,152 @@ def test_fuzz_wire_replay_matches_oracle(spark, seed, n_events, n_base,
         assert_state_equal(actual, expected, cols)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(100, 1200),
+    n_base=st.integers(10, 120),
+    events_per_file=st.integers(23, 300),
+    trigger=st.integers(1, 3),
+    kill_after=st.integers(0, 4),
+    ddl=st.none() | st.tuples(st.integers(0, 1200), st.sampled_from(_DDLS)),
+)
+def test_fuzz_streaming_kill_resume_matches_oracle(
+        spark, seed, n_events, n_base, events_per_file, trigger, kill_after,
+        ddl):
+    """Same property through the STREAMING path with a random mid-stream
+    kill: whatever micro-batch the first process dies after — including
+    before the first commit, and after the log is already drained — a
+    resume from the same checkpoint must land in the sequential oracle's
+    state with no double-apply. Fuzzes the exactly-once machinery itself
+    (checkpointed offsets + applied-batch ledger + LSN fence) rather than
+    one seeded kill point like test_streaming_kill_and_resume."""
+    import time
+
+    from canal_spark.operators.decode import convert_log_to_wire
+    from canal_spark.streaming.replay import StreamingReplay
+
+    spec = CdcLogSpec(
+        n_events=n_events, seed=seed, events_per_file=events_per_file,
+        pk_change_frac=0.1, other_table_frac=0.05,
+        ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
+    )
+    work = os.path.join(WORK, f"sfuzz_{next(_RUN)}_{seed}_{n_events}")
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        base = generate_base_table(n_base, seed=seed)
+        log_dir = os.path.join(work, "log")
+        generate_cdc_log(log_dir, spec, base)
+        wire_dir = os.path.join(work, "wire")
+        convert_log_to_wire(spark, log_dir, wire_dir)
+        table = LakeTable.create(
+            spark, os.path.join(work, "tokseq"), TOKSEQ_SCHEMA, n_buckets=4,
+            df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
+        ckpt = os.path.join(work, "ckpt")
+
+        # phase 1: let at most `kill_after` epochs commit, then hard-stop.
+        # If the log drains first, the "kill" degrades to a clean finish and
+        # the resume below must be a no-op — also a property worth holding.
+        sr1 = StreamingReplay(spark, wire_dir, table, ckpt,
+                              max_files_per_trigger=trigger)
+        q = sr1.start(available_now=True)
+        deadline = time.time() + 300
+        while (q.isActive and len(sr1.metrics.read()) <= kill_after
+               and time.time() < deadline):
+            q.awaitTermination(0.2)
+        q.stop()
+
+        # phase 2: a new "process" resumes from the same checkpoint
+        sr2 = StreamingReplay(spark, wire_dir, table.refresh(), ckpt,
+                              max_files_per_trigger=trigger)
+        sr2.run_to_completion()
+        sr2.flush_tail()
+
+        table = table.refresh()
+        expected, cols = oracle_final_state(base, log_dir)
+        assert table.logical_columns() == cols
+        actual = rows_to_state(table.read().collect(), cols)
+        assert_state_equal(actual, expected, cols)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    shard_events=st.lists(st.integers(60, 700), min_size=2, max_size=3),
+    n_base=st.integers(10, 80),
+    events_per_file=st.integers(31, 300),
+    kill_after=st.integers(0, 3),
+    ddl=st.none() | st.tuples(st.integers(0, 700), st.sampled_from(_DDLS[:3])),
+)
+def test_fuzz_group_streaming_kill_resume_matches_oracle(
+        spark, seed, shard_events, n_base, events_per_file, kill_after, ddl):
+    """The multi-source barrier under fuzz: random shard counts and UNEVEN
+    shard sizes (the fast shard must be fenced behind the slow one), a
+    shared DDL mirrored on every shard at a random position, and a random
+    mid-stream kill — the resumed group stream must land in the merged-
+    timeline sequential oracle's state."""
+    import time
+
+    import pyarrow as pa
+
+    from canal_spark.operators.decode import convert_log_to_wire
+    from canal_spark.oracle import oracle_group_final_state
+    from canal_spark.streaming.group import GroupStreamingReplay
+
+    work = os.path.join(WORK, f"gfuzz_{next(_RUN)}_{seed}")
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        bases, typed_dirs, wire_dirs = [], [], []
+        for i, n_events in enumerate(shard_events):
+            base = generate_base_table(n_base, seed=seed + i,
+                                       id_offset=i * 1_000_000)
+            spec = CdcLogSpec(
+                n_events=n_events, seed=seed + i,
+                events_per_file=events_per_file,
+                pk_change_frac=0.05, other_table_frac=0.05,
+                doc_offset=10_000_000 * (i + 1),
+                # a sharded upstream emits the SAME DDL on every shard;
+                # clamp the drawn position into each shard's log
+                ddl_script=([(min(ddl[0], n_events - 1), ddl[1])]
+                            if ddl else []),
+            )
+            typed = os.path.join(work, f"shard{i}", "typed")
+            generate_cdc_log(typed, spec, base)
+            wire = os.path.join(work, f"shard{i}", "wire")
+            convert_log_to_wire(spark, typed, wire)
+            bases.append(base)
+            typed_dirs.append(typed)
+            wire_dirs.append(wire)
+        combined = pa.concat_tables(bases)
+        table = LakeTable.create(
+            spark, os.path.join(work, "tokseq"), TOKSEQ_SCHEMA, n_buckets=4,
+            df=spark.createDataFrame(combined.to_pandas(), TOKSEQ_SCHEMA))
+        ckpt = os.path.join(work, "ckpt")
+
+        gr1 = GroupStreamingReplay(spark, wire_dirs, table, ckpt,
+                                   max_files_per_trigger=1)
+        q = gr1.start(available_now=True)
+        deadline = time.time() + 300
+        while (q.isActive and len(gr1.metrics.read()) <= kill_after
+               and time.time() < deadline):
+            q.awaitTermination(0.2)
+        q.stop()
+
+        gr2 = GroupStreamingReplay(spark, wire_dirs, table.refresh(), ckpt,
+                                   max_files_per_trigger=1)
+        gr2.run_to_completion()
+        gr2.flush_tail()
+
+        table = table.refresh()
+        expected, cols = oracle_group_final_state(bases, typed_dirs)
+        assert table.logical_columns() == cols
+        actual = rows_to_state(table.read().collect(), cols)
+        assert_state_equal(actual, expected, cols)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
