@@ -289,3 +289,105 @@ def test_fuzz_group_streaming_kill_resume_matches_oracle(
         assert_state_equal(actual, expected, cols)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(40, 600),
+    n_base=st.integers(8, 120),
+    ins=st.integers(0, 10), upd=st.integers(0, 10), dele=st.integers(0, 10),
+    pk_change_frac=st.sampled_from([0.0, 0.1, 0.3]),
+    events_per_file=st.integers(9, 250),
+    n_chunks=st.integers(1, 3),
+    redeliver=st.integers(0, 2),
+    ddl=st.none() | st.tuples(st.integers(0, 600), st.sampled_from(_DDLS)),
+)
+def test_fuzz_views_match_recompute(spark, seed, n_events, n_base, ins, upd,
+                                    dele, pk_change_frac, events_per_file,
+                                    n_chunks, redeliver, ddl):
+    """The maintained-view machinery under fuzz: a random log replayed in
+    1-3 ledgered chunks with the three hardest views attached — the
+    fingerprint TransformView (plain per-row derivation), PackIndexView
+    (shard re-pack with '~p' carried-row restamping) and AggRollupView
+    (retraction against the main table's parent snapshot) — must each land
+    exactly in their independent recompute-from-scratch twin over the
+    sequential oracle's final state; then one random chunk re-delivered
+    UN-ledgered (the at-least-once pattern, including a stale non-tail
+    chunk) must move none of them. Covers the three distinct fence
+    mechanisms the seeded view tests pin one case each of."""
+    from pyspark.sql import functions as F
+
+    from canal_spark.views import (AggRollupView, PackIndexView,
+                                   agg_rollup_frame, fingerprint_index_view,
+                                   pack_index_frame)
+    from tests.test_views import (INDEX_COLS, INDEX_SCHEMA, PACK_COLS,
+                                  PACK_SCHEMA, ROLLUP_COLS, ROLLUP_SCHEMA,
+                                  SEQ_LEN, SHARD_CHARS, _expected_index,
+                                  _expected_pack, _expected_rollup,
+                                  _pack_state, _rollup_state, _view_state)
+
+    tot = (ins + upd + dele) or 1
+    spec = CdcLogSpec(
+        n_events=n_events, seed=seed,
+        op_mix=(ins / tot, upd / tot, dele / tot),
+        pk_change_frac=pk_change_frac,
+        events_per_file=events_per_file, other_table_frac=0.05,
+        ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
+    )
+    work = os.path.join(WORK, f"vfuzz_{next(_RUN)}_{seed}_{n_events}")
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        base = generate_base_table(n_base, seed=seed)
+        log_dir = os.path.join(work, "log")
+        generate_cdc_log(log_dir, spec, base)
+        bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+        table = LakeTable.create(
+            spark, os.path.join(work, "tokseq"), TOKSEQ_SCHEMA, n_buckets=4,
+            df=bdf)
+        fp_vt = LakeTable.create(
+            spark, os.path.join(work, "fp_idx"), INDEX_SCHEMA, n_buckets=4,
+            df=bdf.select("doc_id", F.md5(F.to_json("tokens")).alias("fp_md5"),
+                          "n_tok", "source"))
+        pk_vt = LakeTable.create(
+            spark, os.path.join(work, "pack_idx"), PACK_SCHEMA, n_buckets=4,
+            df=pack_index_frame(bdf.select("doc_id", "n_tok"), SEQ_LEN,
+                                shard_chars=SHARD_CHARS))
+        ru_vt = LakeTable.create(
+            spark, os.path.join(work, "rollup"), ROLLUP_SCHEMA,
+            key_col="source", n_buckets=4,
+            df=agg_rollup_frame(bdf, "source", ("n_tok",)))
+        views = [fingerprint_index_view(fp_vt),
+                 PackIndexView(pk_vt, SEQ_LEN, shard_chars=SHARD_CHARS),
+                 AggRollupView(ru_vt, table, "source", ("n_tok",))]
+
+        files = sorted(f for f in os.listdir(log_dir)
+                       if f.endswith(".parquet"))
+        k = min(n_chunks, len(files))
+        bounds = [round(i * len(files) / k) for i in range(k + 1)]
+        chunks = [files[bounds[i]:bounds[i + 1]] for i in range(k)]
+        for i, chunk in enumerate(chunks):
+            if chunk:
+                replay(spark, log_dir, table.refresh(), files=chunk,
+                       batch_id=f"c{i}", views=views)
+
+        states = (_view_state(views[0]), _pack_state(views[1]),
+                  _rollup_state(views[2]))
+        assert_state_equal(states[0], _expected_index(base, log_dir),
+                           INDEX_COLS)
+        assert_state_equal(states[1], _expected_pack(base, log_dir),
+                           PACK_COLS)
+        assert_state_equal(states[2], _expected_rollup(base, log_dir),
+                           ROLLUP_COLS)
+
+        # at-least-once: one random chunk again, UN-ledgered — every view's
+        # fence must absorb it (stale non-tail chunks included)
+        again = chunks[min(redeliver, k - 1)]
+        if again:
+            replay(spark, log_dir, table.refresh(), files=again, views=views)
+        assert _view_state(views[0]) == states[0]
+        assert _pack_state(views[1]) == states[1]
+        assert _rollup_state(views[2]) == states[2]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
