@@ -650,7 +650,10 @@ class LakeTable:
                     "files_read": len(touched_files),
                     "files_carried": bucket_files - len(touched_files)}
         finally:
-            changes.unpersist()
+            # unpersist the DF that was persisted: caches are per-plan, so
+            # unpersisting the parent `changes` would leak `chg`'s blocks on
+            # every commit of a long-running stream
+            chg.unpersist()
 
     def _delta_commit(self, chg: DataFrame, batch_id: str | None,
                       max_lsn: str | None, bstats: list, touched: list[int],

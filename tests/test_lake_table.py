@@ -285,3 +285,23 @@ def test_lookup_prunes_to_few_files(spark, tmp_work):
     names5 = t._lookup_files(
         [f"doc-{i:05d}" for i in (1, 100, 200, 300, 400)], t.snap)
     assert len(names5) <= 10
+
+
+def test_merge_apply_leaves_no_cached_blocks(spark, tmp_work):
+    """Regression (review finding): merge_apply persists the prefixed
+    change frame but the finally-block unpersisted its PARENT — caches are
+    per-plan, so every commit of a long-running stream leaked one cached
+    DataFrame into the block manager. Both commit modes must leave the
+    persistent-RDD census exactly where it was."""
+    jsc = spark.sparkContext._jsc
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    m = LakeTable.create(spark, os.path.join(tmp_work, "m"), SCHEMA,
+                         n_buckets=4, merge_mode="mor",
+                         df=spark.createDataFrame(BASE, SCHEMA))
+    before = jsc.getPersistentRDDs().size()
+    for i in range(3):
+        ch = _chg(spark, [("a", [i], 1, "web", "U", f"lsn-10{i}"),
+                          ("zz", None, None, None, "D", f"lsn-10{i}")])
+        t.merge_apply(ch, batch_id=f"cow-{i}")
+        m.merge_apply(ch, batch_id=f"mor-{i}")
+    assert jsc.getPersistentRDDs().size() == before
