@@ -132,6 +132,7 @@ def mirror_apply(ev: DataFrame, db: LakeDatabase,
                  wire: bool = False,
                  salt_partitions: int | None = None,
                  merge_mode: str = "cow",
+                 max_concurrency: int = 4,
                  ) -> dict[str, ReplayStats]:
     """Fan one prepared event batch into one LakeTable per source table.
     Returns {catalog name: ReplayStats}. ``ev`` is envelope-filtered
@@ -141,7 +142,17 @@ def mirror_apply(ev: DataFrame, db: LakeDatabase,
     out of scope — the schema comes from the typed after-image or
     ``schema_factory(name)``), EXCEPT names reachable by RENAME TABLE from
     an existing sink's subscription: those events belong to the renamed
-    sink and must not fork into a second table."""
+    sink and must not fork into a second table.
+
+    ``max_concurrency``: per-sink applies are submitted from a small driver
+    thread pool (the reference applies per-table DML on pooled executors,
+    client-adapter/rdb/.../RdbSyncService.java:52-131 executorThreads
+    submit/get). Each sink's jobs are small pruned scans over the shared
+    batch; serial submission would pay (tables × driver round-trips) of
+    idle cluster per micro-batch, which dominates wall time at a 100-table
+    mirror. Safe because every per-sink path is self-contained: its own
+    LakeTable metadata directory, tracker, ledger and LSN fence; the shared
+    input is read-only. 1 restores strictly serial apply."""
     dml = (F.col("entry_type") == "ROWDATA") & ~F.col("is_ddl")
 
     # tables present in this batch: distinct over two scan-pruned columns
@@ -199,13 +210,20 @@ def mirror_apply(ev: DataFrame, db: LakeDatabase,
         db.create(name, schema, key_col=key_col, n_buckets=n_buckets,
                   merge_mode=merge_mode)
 
-    out: dict[str, ReplayStats] = {}
-    for name, table in db.tables().items():
-        out[name] = apply_events(
+    items = list(db.tables().items())
+
+    def _one(name: str, table: LakeTable) -> tuple[str, ReplayStats]:
+        return name, apply_events(
             ev, table,
             batch_id=None if batch_id is None else f"{batch_id}/{name}",
             salt_partitions=salt_partitions, wire=wire)
-    return out
+
+    if max_concurrency > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(max_concurrency, len(items))) as pool:
+            return dict(pool.map(lambda it: _one(*it), items))
+    return dict(_one(*it) for it in items)
 
 
 def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
@@ -218,6 +236,7 @@ def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
                   salt_partitions: int | None = None,
                   merge_mode: str = "cow",
                   files: list[str] | None = None,
+                  max_concurrency: int = 4,
                   ) -> dict[str, ReplayStats]:
     """Batch mirror: replay one whole log into the LakeDatabase (see
     mirror_apply for the per-batch semantics)."""
@@ -226,4 +245,5 @@ def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
     return mirror_apply(ev, db, batch_id=batch_id, key_col=key_col,
                         n_buckets=n_buckets, schema_factory=schema_factory,
                         wire=wire, salt_partitions=salt_partitions,
-                        merge_mode=merge_mode)
+                        merge_mode=merge_mode,
+                        max_concurrency=max_concurrency)

@@ -48,6 +48,7 @@ class MirrorStreamingReplay(StreamingReplay):
         key_col: str = "doc_id",
         n_buckets: int = 16,
         merge_mode: str = "cow",
+        max_concurrency: int = 4,
         **kw,
     ):
         # table=None: every sink access goes through the hooks below
@@ -62,6 +63,7 @@ class MirrorStreamingReplay(StreamingReplay):
         self.key_col = key_col
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
+        self.max_concurrency = max_concurrency
 
     # --------------------------------------------------------- hooks
     def _apply(self, complete: DataFrame, epoch_id: int | None) -> ReplayStats:
@@ -71,7 +73,8 @@ class MirrorStreamingReplay(StreamingReplay):
             key_col=self.key_col, n_buckets=self.n_buckets,
             schema_factory=self.schema_factory, wire=True,
             salt_partitions=self.salt_partitions,
-            merge_mode=self.merge_mode)
+            merge_mode=self.merge_mode,
+            max_concurrency=self.max_concurrency)
         agg = ReplayStats()
         for s in per_sink.values():
             agg.ranges += s.ranges

@@ -110,3 +110,39 @@ def test_mirror_rename_does_not_fork_a_second_sink(spark, tmp_work):
     final = rows_to_state(db.get("train.tokseq").read().collect(),
                           ["doc_id", "tokens", "n_tok", "source"])
     assert any(k.startswith("doc02000") for k in final)
+
+
+def test_mirror_parallel_apply_equals_serial(spark, tmp_work):
+    """Per-sink applies submitted from the driver thread pool (the
+    reference's pooled per-table executors, RdbSyncService.java:52-131)
+    must land every sink in exactly the serial apply's state — same oracle,
+    same versions-per-sink shape, same schema."""
+    spec = CdcLogSpec(n_events=2500, seed=23, events_per_file=800,
+                      other_table_frac=0.2, pk_change_frac=0.03,
+                      ddl_script=[(900, "ALTER TABLE train.tokseq "
+                                        "ADD COLUMN lang varchar")])
+    base = generate_base_table(200, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+
+    dbs = {}
+    for mode, conc in (("serial", 1), ("parallel", 4)):
+        db = LakeDatabase(spark, os.path.join(tmp_work, f"lakedb_{mode}"))
+        db.create("train.tokseq", TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+        stats = mirror_replay(spark, log_dir, db, batch_id="m1",
+                              max_concurrency=conc)
+        assert set(stats) == {"train.tokseq", "train.other_tbl"}
+        dbs[mode] = db
+
+    expected = oracle_mirror_final_state(
+        {"train.tokseq": base, "train.other_tbl": None}, log_dir)
+    for name in ("train.tokseq", "train.other_tbl"):
+        exp_state, exp_cols = expected[name]
+        states = {}
+        for mode, db in dbs.items():
+            t = db.get(name)
+            assert t.logical_columns() == exp_cols
+            states[mode] = rows_to_state(t.read().collect(), exp_cols)
+            assert_state_equal(states[mode], exp_state, exp_cols)
+        assert states["serial"] == states["parallel"]
