@@ -160,6 +160,16 @@ def main() -> int:
                    len(re.findall(r"\(\d+\) Exchange", topic_plan)) == 1,
                    topic_plan))
 
+    # 10. the mirror's per-sink gate (two plain column equalities) pushes
+    # into the event-log scan — the property that lets a 100-table mirror
+    # multiply SMALL pruned scans instead of full passes (mirror.py docs)
+    gated = raw.where((F.col("schema_name") == "train")
+                      & (F.col("table_name") == "tokseq")) \
+               .select("event_type", "lsn" if "lsn" in raw.columns else "gtid_seq")
+    check("mirror_sink_gate_pushdown", gated,
+          r"PushedFilters: \[.*EqualTo\(schema_name,train\).*"
+          r"EqualTo\(table_name,tokseq\)")
+
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
 
