@@ -49,15 +49,31 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
         if ev["entry_type"] != "ROWDATA":
             continue
         if ev["is_ddl"]:
-            if (ev["schema_name"], ev["table_name"]) != sub:
-                continue
-            # classify with the SHARED grammar (schema/ddl.py) — the oracle
-            # must track exactly the column set the engine tracks; the
-            # *application* semantics below stay independent (a sequential
-            # dict fold, nothing like the engine's metadata commits)
+            # Route DDL by the PARSED statement's target table, NOT the
+            # event envelope: a binlog QUERY event's envelope carries the
+            # session's current database/table (the generator stamps the
+            # main table's current name), while the SQL may target ANY
+            # table — the reference parses the statement to find the
+            # affected table (DatabaseTableMeta/DruidDdlParser), and so
+            # does the engine (SchemaTracker.relevant on each command).
+            # Found by the mirror fuzz: an envelope gate here silently
+            # dropped another table's ALTER from its own fold AND would
+            # have applied a matching-envelope ALTER of a foreign table.
+            # classify with the SHARED grammar/relevance (schema/ddl.py +
+            # tracker.relevant/follow — pure, cross-checked by the
+            # hand-written goldens in test_ddl.py) — the oracle must track
+            # exactly the column set the engine tracks; the *application*
+            # semantics below stay independent (a sequential dict fold,
+            # nothing like the engine's metadata commits)
             from canal_spark.schema.ddl import parse_ddl_statements
+            from canal_spark.schema.tracker import SchemaTracker
 
             for cmd in parse_ddl_statements(ev["sql"] or ""):
+                if cmd.kind == "RENAME_TABLE":
+                    sub = SchemaTracker.follow(cmd, sub)
+                    continue
+                if not SchemaTracker.relevant(cmd, sub):
+                    continue
                 if cmd.kind == "ADD_COLUMN" and cmd.column not in cols:
                     _insert_at(cols, cmd.column, cmd.position)
                     fn = _coercer_of(cmd.dtype)
@@ -85,11 +101,8 @@ def apply_events_py(base_rows: dict[str, dict], events: list[dict],
                         row.pop(cmd.column, None)
                 elif cmd.kind == "TRUNCATE":
                     state.clear()
-                elif cmd.kind == "RENAME_TABLE":
-                    new_name = cmd.new_name or ""
-                    sub = (tuple(new_name.split(".", 1)) if "." in new_name
-                           else (sub[0], new_name))
-                # MODIFY_COLUMN: values are untyped python objects — no-op
+                # RENAME_TABLE handled above (follow); MODIFY_COLUMN:
+                # values are untyped python objects — no-op
             continue
 
         if (ev["schema_name"], ev["table_name"]) != sub:

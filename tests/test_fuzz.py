@@ -391,3 +391,74 @@ def test_fuzz_views_match_recompute(spark, seed, n_events, n_base, ins, upd,
         assert _rollup_state(views[2]) == states[2]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_MIRROR_DDLS = [
+    "ALTER TABLE train.tokseq ADD COLUMN q1 STRING",
+    "ALTER TABLE train.tokseq ADD COLUMN s1 INT, ADD COLUMN s2 STRING",
+    "TRUNCATE TABLE train.tokseq",
+    "RENAME TABLE train.tokseq TO train.tokseq2",
+    "ALTER TABLE train.other_tbl ADD COLUMN x1 INT",
+]
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(40, 700),
+    n_base=st.integers(8, 100),
+    other_frac=st.sampled_from([0.1, 0.3, 0.5]),
+    pk_change_frac=st.sampled_from([0.0, 0.1]),
+    events_per_file=st.integers(9, 300),
+    conc=st.sampled_from([1, 4]),
+    ddl=st.none() | st.tuples(st.integers(0, 700), st.sampled_from(_MIRROR_DDLS)),
+)
+def test_fuzz_mirror_matches_oracle(spark, seed, n_events, n_base,
+                                    other_frac, pk_change_frac,
+                                    events_per_file, conc, ddl):
+    """Whole-database mirror under fuzz: a random two-table log fanned into
+    per-table sinks (random concurrency — parallel fan-out must stay
+    bit-identical) must land every sink in its per-subscription sequential
+    oracle, across first-sight creation, foreign-vs-own DDL (incl. an
+    other_tbl ALTER and RENAME TABLE, which must not fork a second sink),
+    and a ledgered whole-batch redelivery that no-ops every sink."""
+    from canal_spark.mirror import LakeDatabase, mirror_replay
+    from canal_spark.oracle import oracle_mirror_final_state
+
+    spec = CdcLogSpec(
+        n_events=n_events, seed=seed, events_per_file=events_per_file,
+        pk_change_frac=pk_change_frac, other_table_frac=other_frac,
+        ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
+    )
+    work = os.path.join(WORK, f"mfuzz_{next(_RUN)}_{seed}_{n_events}")
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        base = generate_base_table(n_base, seed=seed)
+        log_dir = os.path.join(work, "log")
+        generate_cdc_log(log_dir, spec, base)
+        db = LakeDatabase(spark, os.path.join(work, "lakedb"))
+        db.create("train.tokseq", TOKSEQ_SCHEMA, n_buckets=4,
+                  df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
+        mirror_replay(spark, log_dir, db, batch_id="m1",
+                      max_concurrency=conc)
+
+        names = db.names()
+        assert "train.tokseq" in names and len(names) <= 2
+        expected = oracle_mirror_final_state(
+            {"train.tokseq": base, "train.other_tbl": None}, log_dir)
+        for name in names:
+            t = db.get(name)
+            exp_state, exp_cols = expected[name]
+            assert t.logical_columns() == exp_cols, name
+            actual = rows_to_state(t.read().collect(), exp_cols)
+            assert_state_equal(actual, exp_state, exp_cols)
+
+        # ledgered redelivery: every sink must be a metadata no-op
+        v = {n: db.get(n).version for n in names}
+        again = mirror_replay(spark, log_dir, db, batch_id="m1",
+                              max_concurrency=conc)
+        assert all(s.ranges == 0 for s in again.values())
+        assert {n: db.get(n).version for n in names} == v
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
