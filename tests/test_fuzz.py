@@ -40,12 +40,19 @@ TOKSEQ_SCHEMA = T.StructType([
     T.StructField("source", T.StringType()),
 ])
 
-# one DDL drawn per example; positions clamp into the log
+# one DDL drawn per example; positions clamp into the log. The group fuzz
+# samples [:3] (ADD COLUMN shapes only); the tail entries widen the
+# single-source pool with TRUNCATE, RENAME TABLE (subscription follow —
+# the generator emits post-rename DML under the new name, the oracle
+# follows the parsed rename) and a FOREIGN-table ALTER (must not split
+# ranges or touch the subscribed fold on either engine or oracle).
 _DDLS = [
     "ALTER TABLE train.tokseq ADD COLUMN q1 STRING",
     "ALTER TABLE train.tokseq ADD COLUMN s1 INT, ADD COLUMN s2 STRING",
     "ALTER TABLE train.tokseq ADD COLUMN tmp INT",
     "TRUNCATE TABLE train.tokseq",
+    "RENAME TABLE train.tokseq TO train.tokseq2",
+    "ALTER TABLE train.other_tbl ADD COLUMN x1 INT",
 ]
 
 
