@@ -30,7 +30,6 @@ from canal_spark.operators.lww import collapse_lww
 from canal_spark.table.lake import LakeTable
 
 RELAY_PREFIX = "relay"
-_FEED_COLS = {"op", "lsn", "_commit_version"}
 
 
 def acked_version(dst: LakeTable, prefix: str = RELAY_PREFIX) -> int:
@@ -67,10 +66,21 @@ def relay_step(src: LakeTable, dst: LakeTable,
                expire_acked: bool = False) -> dict:
     """One poll of the client loop: get (ack, head] → apply → ack.
 
-    Mirrors upstream schema evolution before applying (feed columns the
-    downstream doesn't know yet become ADD COLUMNs — the adapters' DDL
-    mirroring, client-adapter/rdb/.../RdbMirrorDbSyncService.java:50-90)
-    and propagates a metadata TRUNCATE fence the feed cannot carry.
+    Mirrors upstream schema evolution before applying — from the SOURCE
+    SNAPSHOT, the authority on the live schema (the adapters' DDL
+    mirroring, client-adapter/rdb/.../RdbMirrorDbSyncService.java:50-90):
+    columns the source has and the mirror lacks become ADD COLUMNs,
+    columns the mirror has and the source dropped become DROP COLUMNs
+    (both metadata-only). The feed's own columns can't drive this — a
+    slice straddling an upstream ADD/DROP carries the UNION of its
+    commits' schemas (mergeSchema), so feed-missing columns NULL-fill and
+    feed-extra columns (values for a column the source has since dropped)
+    fall away with the drop, exactly matching the source's final state.
+    Found by probe: inferring ADDs from feed columns and selecting every
+    mirror column from the feed crashed the poll loop permanently on the
+    first post-DROP slice (AnalysisException on the dropped column, ack
+    never advances). Also propagates a metadata TRUNCATE fence the feed
+    cannot carry.
 
     ``expire_acked``: after a successful apply, drop the feed files this
     relay just consumed (single-consumer deployments; the reference frees
@@ -92,12 +102,24 @@ def relay_step(src: LakeTable, dst: LakeTable,
     if head <= ack:
         return {"applied": False, "ack": ack, "head": head}
 
+    src_types = {f.name: f.dataType for f in src.schema().fields}
+    for name, dtype in src_types.items():
+        if name not in dst.logical_columns():
+            dst.alter_add_column(name, dtype)
+    for name in list(dst.logical_columns()):
+        if name not in src_types and name != dst.key_col:
+            dst.alter_drop_column(name)
+
+    from pyspark.sql import functions as F
+
     feed = src.read_changes(since_version=ack, until_version=head)
-    known = set(dst.logical_columns()) | _FEED_COLS
-    for f in feed.schema.fields:
-        if f.name not in known:
-            dst.alter_add_column(f.name, f.dataType)
     net = collapse_lww(feed.drop("_commit_version"), key=dst.key_col)
+    cols = dst.logical_columns()
+    dtypes = dst.schema()
+    net = net.select(
+        *[F.col(c) if c in net.columns
+          else F.lit(None).cast(dtypes[c].dataType).alias(c) for c in cols],
+        "op", "lsn")
     res = dst.merge_apply(net, batch_id=f"{prefix}/v{head:08d}")
     _record_ack(dst, prefix, head)
     if expire_acked and not res.get("skipped"):

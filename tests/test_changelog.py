@@ -260,3 +260,50 @@ def test_relay_ack_survives_ledger_eviction(spark, tmp_work):
         assert _state(consumer2) == _state(primary)
     finally:
         lake.LEDGER_KEEP = orig_keep
+
+
+def test_relay_survives_upstream_drop_column(spark, tmp_work):
+    """Regression (probe finding): once the upstream DROPs a column, every
+    later feed slice lacks it — the old feed-driven schema mirror then
+    selected the dropped column from the feed and crashed EVERY poll
+    (AnalysisException; the ack never advances, the relay is wedged for
+    good). The mirror now follows the source snapshot: ADD and DROP are
+    both mirrored metadata-only, a slice straddling the DROP applies
+    without the dropped values, and the downstream converges to the
+    source's final state."""
+    from canal_spark.streaming.relay import relay_step, relay_until_idle
+
+    def _mk(rows, fields):
+        return spark.createDataFrame(rows, T.StructType(
+            [T.StructField(n, t) for n, t in fields]))
+
+    F_ = [("doc_id", T.StringType()), ("tokens", T.ArrayType(T.IntegerType())),
+          ("n_tok", T.IntegerType()), ("source", T.StringType()),
+          ("op", T.StringType()), ("lsn", T.StringType())]
+    primary = LakeTable.create(spark, os.path.join(tmp_work, "p"),
+                               TOKSEQ_SCHEMA, n_buckets=4, changelog=True)
+    consumer = LakeTable.create(spark, os.path.join(tmp_work, "c"),
+                                TOKSEQ_SCHEMA, n_buckets=4)
+    primary.merge_apply(_mk([("a", [1], 1, "web", "U", "lsn-001")], F_),
+                        batch_id="b1")
+    relay_until_idle(primary.refresh(), consumer)
+
+    # upstream ADD + a commit carrying the new column, NOT yet relayed
+    primary.refresh().alter_add_column("lang", T.StringType())
+    primary.refresh().merge_apply(
+        _mk([("b", [2], 1, "web", "en", "U", "lsn-002")],
+            F_[:4] + [("lang", T.StringType())] + F_[4:]), batch_id="b2")
+    # upstream DROP + a post-drop commit: the next relay slice STRADDLES
+    # both DDLs (its feed union carries lang from b2)
+    primary.refresh().alter_drop_column("lang")
+    primary.refresh().merge_apply(
+        _mk([("c", [3], 1, "web", "U", "lsn-003")], F_), batch_id="b3")
+
+    r = relay_step(primary.refresh(), consumer.refresh())
+    assert r["applied"]
+    assert consumer.refresh().logical_columns() == BASE_COLS  # drop mirrored
+    assert _state(consumer) == _state(primary)
+
+    # the poll loop stays healthy: next poll is a clean no-op
+    r2 = relay_step(primary.refresh(), consumer.refresh())
+    assert not r2["applied"]
