@@ -153,3 +153,55 @@ def test_group_streaming_liveness_hold_then_idle(spark, tmp_work):
     gs.run_to_completion()
     gs.flush_tail()
     _check(table.refresh(), bases, typed_dirs)
+
+
+def test_group_streaming_with_attached_view(spark, tmp_work):
+    """Views ride the N-shard stream too: a fingerprint TransformView
+    attached to GroupStreamingReplay (incl. a kill/resume) must equal the
+    recompute-from-scratch index over the merged-timeline oracle state —
+    the group path threads views through apply_events + flush_tail, which
+    no seeded test exercised before."""
+    import hashlib
+    import json
+    import time
+
+    from canal_spark.views import fingerprint_index_view
+    from tests.test_views import INDEX_COLS, INDEX_SCHEMA
+
+    bases, typed, wires, table = _setup_shards(
+        spark, tmp_work, events_per_shard=[900, 400], seed=57)
+    bdf = table.read()
+    vt = LakeTable.create(
+        spark, os.path.join(tmp_work, "fp_idx"), INDEX_SCHEMA, n_buckets=4,
+        df=bdf.select("doc_id", F.md5(F.to_json("tokens")).alias("fp_md5"),
+                      "n_tok", "source"))
+    view = fingerprint_index_view(vt)
+    ckpt = os.path.join(tmp_work, "ckpt")
+
+    # phase 1: kill after the first committed epoch
+    gr1 = GroupStreamingReplay(spark, wires, table, ckpt,
+                               max_files_per_trigger=1, views=[view])
+    q = gr1.start(available_now=True)
+    deadline = time.time() + 300
+    while q.isActive and len(gr1.metrics.read()) < 1 and time.time() < deadline:
+        q.awaitTermination(0.2)
+    q.stop()
+    # phase 2: resume
+    gr2 = GroupStreamingReplay(spark, wires, table.refresh(), ckpt,
+                               max_files_per_trigger=1, views=[view])
+    gr2.run_to_completion()
+    gr2.flush_tail()
+
+    _check(table.refresh(), bases, typed)
+    expected, _cols = oracle_group_final_state(bases, typed)
+    exp_index = {}
+    for doc_id, row in expected.items():
+        toks = row.get("tokens")
+        fp = (None if toks is None else hashlib.md5(
+            json.dumps(list(toks), separators=(",", ":")).encode()).hexdigest())
+        exp_index[doc_id] = {"doc_id": doc_id, "fp_md5": fp,
+                             "n_tok": row.get("n_tok"),
+                             "source": row.get("source")}
+    got = {r["doc_id"]: r.asDict()
+           for r in view.table.refresh().read().collect()}
+    assert_state_equal(got, exp_index, INDEX_COLS)
