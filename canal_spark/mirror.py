@@ -98,6 +98,22 @@ class LakeDatabase:
             out[n] = tuple(snap_sub) if snap_sub else tuple(n.split(".", 1))
         return out
 
+    def known_names(self) -> set[tuple[str, str]]:
+        """Every (schema, table) any sink subscribes to NOW or EVER DID
+        (catalog key + persisted rename history + current subscription).
+        Events redelivered under a PAST name belong to that sink's history
+        — they are gated/fenced by its per-range subscription, and must
+        never read as an unseen table (first-sight fork)."""
+        names: set[tuple[str, str]] = set()
+        for n, t in self.tables().items():
+            names.add(tuple(n.split(".", 1)))
+            snap_sub = t.snap.get("subscribed")
+            if snap_sub:
+                names.add(tuple(snap_sub))
+            for h in t.snap.get("subscribed_history", []):
+                names.add(tuple(h))
+        return names
+
 
 def _infer_schema(events: DataFrame, sub: tuple[str, str],
                   key_col: str,
@@ -168,9 +184,12 @@ def mirror_apply(ev: DataFrame, db: LakeDatabase,
         (r["lsn"], r["sql"])
         for r in ev.where(F.col("is_ddl")).select("lsn", "sql").collect())
     ddl_cmds = [c for _, sql in ddls for c in parse_ddl_statements(sql or "")]
-    covered: set[tuple[str, str]] = set()
+    # seed coverage with every name any sink EVER owned (catalog key +
+    # rename history + current) — a redelivered batch can carry events
+    # under a PAST subscription, and those must route to the existing
+    # sink's (fenced, no-op) apply, never to first-sight creation
+    covered: set[tuple[str, str]] = set(db.known_names())
     for sub in db.current_subscriptions().values():
-        covered.add(sub)
         cur = sub
         for cmd in ddl_cmds:
             cur = SchemaTracker.follow(cmd, cur)

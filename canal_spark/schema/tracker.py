@@ -106,9 +106,20 @@ class SchemaTracker:
             self.table.truncate(lsn=lsn)
         elif cmd.kind == "RENAME_TABLE":
             # the subscription follows the rename (DatabaseTableMeta keeps
-            # tracking the renamed table); record it in the snapshot
+            # tracking the renamed table); record it in the snapshot, and
+            # append the OLD name to the persisted history — the mirror's
+            # first-sight routing must recognize redelivered events under
+            # ANY name this sink ever subscribed to (found by the mirror
+            # fuzz: a redelivered pre-rename batch forked a second sink
+            # under the old name)
+            old = self.subscribed
             self.subscribed = self.follow(cmd, self.subscribed)
-            self.table._commit_meta(subscribed=list(self.subscribed))
+            hist = [list(h) for h in
+                    self.table.snap.get("subscribed_history", [])]
+            if list(old) not in hist:
+                hist.append(list(old))
+            self.table._commit_meta(subscribed=list(self.subscribed),
+                                    subscribed_history=hist)
         else:
             return False
         return True

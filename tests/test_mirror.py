@@ -111,6 +111,20 @@ def test_mirror_rename_does_not_fork_a_second_sink(spark, tmp_work):
                           ["doc_id", "tokens", "n_tok", "source"])
     assert any(k.startswith("doc02000") for k in final)
 
+    # regression (mirror fuzz finding): redeliver the ORIGINAL log — its
+    # pre-rename events arrive under the OLD name, which is no longer the
+    # sink's current subscription; they belong to the sink's persisted
+    # history and must route there (fenced no-op), never fork a new sink
+    # (db.create used to raise 'already exists' on the catalog key)
+    states = {n: rows_to_state(db.get(n).read().collect(),
+                               ["doc_id", "tokens", "n_tok", "source"])
+              for n in db.names()}
+    mirror_replay(spark, log_dir, db)
+    assert sorted(db.names()) == ["train.other_tbl", "train.tokseq"]
+    for n, before in states.items():
+        assert rows_to_state(db.get(n).read().collect(),
+                             ["doc_id", "tokens", "n_tok", "source"]) == before
+
 
 def test_mirror_parallel_apply_equals_serial(spark, tmp_work):
     """Per-sink applies submitted from the driver thread pool (the
