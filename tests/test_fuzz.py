@@ -406,6 +406,10 @@ _MIRROR_DDLS = [
     "TRUNCATE TABLE train.tokseq",
     "RENAME TABLE train.tokseq TO train.tokseq2",
     "ALTER TABLE train.other_tbl ADD COLUMN x1 INT",
+    # rename CHAIN (two renames, the generator clamps both positions into
+    # the log): a sink whose history spans several past names
+    "RENAME TABLE train.tokseq TO train.tokseq2"
+    "\x00RENAME TABLE train.tokseq2 TO train.tokseq3",
 ]
 
 
@@ -419,24 +423,36 @@ _MIRROR_DDLS = [
     pk_change_frac=st.sampled_from([0.0, 0.1]),
     events_per_file=st.integers(9, 300),
     conc=st.sampled_from([1, 4]),
+    n_chunks=st.integers(1, 2),
     ddl=st.none() | st.tuples(st.integers(0, 700), st.sampled_from(_MIRROR_DDLS)),
 )
 def test_fuzz_mirror_matches_oracle(spark, seed, n_events, n_base,
                                     other_frac, pk_change_frac,
-                                    events_per_file, conc, ddl):
+                                    events_per_file, conc, n_chunks, ddl):
     """Whole-database mirror under fuzz: a random two-table log fanned into
     per-table sinks (random concurrency — parallel fan-out must stay
     bit-identical) must land every sink in its per-subscription sequential
     oracle, across first-sight creation, foreign-vs-own DDL (incl. an
-    other_tbl ALTER and RENAME TABLE, which must not fork a second sink),
-    and a ledgered whole-batch redelivery that no-ops every sink."""
+    other_tbl ALTER, RENAME TABLE and a rename CHAIN — none may fork a
+    second sink), delivery split into 1-2 ledgered chunks (a chunk
+    boundary can land mid-rename-chain), a ledgered whole-batch
+    redelivery, and an UN-ledgered redelivery of the FIRST chunk (stale
+    pre-rename events under a PAST subscription name — the first-sight
+    router must send them to the existing sink's fenced no-op apply)."""
     from canal_spark.mirror import LakeDatabase, mirror_replay
     from canal_spark.oracle import oracle_mirror_final_state
 
+    ddl_script = []
+    if ddl:
+        stmts = ddl[1].split("\x00")
+        step = max(1, (n_events - 1 - min(ddl[0], n_events - 1))
+                   // max(1, len(stmts)))
+        ddl_script = [(min(ddl[0] + i * step, n_events - 1), s)
+                      for i, s in enumerate(stmts)]
     spec = CdcLogSpec(
         n_events=n_events, seed=seed, events_per_file=events_per_file,
         pk_change_frac=pk_change_frac, other_table_frac=other_frac,
-        ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
+        ddl_script=ddl_script,
     )
     work = os.path.join(WORK, f"mfuzz_{next(_RUN)}_{seed}_{n_events}")
     shutil.rmtree(work, ignore_errors=True)
@@ -447,25 +463,43 @@ def test_fuzz_mirror_matches_oracle(spark, seed, n_events, n_base,
         db = LakeDatabase(spark, os.path.join(work, "lakedb"))
         db.create("train.tokseq", TOKSEQ_SCHEMA, n_buckets=4,
                   df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
-        mirror_replay(spark, log_dir, db, batch_id="m1",
-                      max_concurrency=conc)
+        files = sorted(f for f in os.listdir(log_dir)
+                       if f.endswith(".parquet"))
+        k = min(n_chunks, len(files))
+        bounds = [round(i * len(files) / k) for i in range(k + 1)]
+        chunks = [files[bounds[i]:bounds[i + 1]] for i in range(k)]
+        for i, chunk in enumerate(chunks):
+            if chunk:
+                mirror_replay(spark, log_dir, db, files=chunk,
+                              batch_id=f"m{i}", max_concurrency=conc)
 
         names = db.names()
         assert "train.tokseq" in names and len(names) <= 2
         expected = oracle_mirror_final_state(
             {"train.tokseq": base, "train.other_tbl": None}, log_dir)
-        for name in names:
-            t = db.get(name)
-            exp_state, exp_cols = expected[name]
-            assert t.logical_columns() == exp_cols, name
-            actual = rows_to_state(t.read().collect(), exp_cols)
-            assert_state_equal(actual, exp_state, exp_cols)
 
-        # ledgered redelivery: every sink must be a metadata no-op
+        def check_all():
+            for name in names:
+                t = db.get(name)
+                exp_state, exp_cols = expected[name]
+                assert t.logical_columns() == exp_cols, name
+                actual = rows_to_state(t.read().collect(), exp_cols)
+                assert_state_equal(actual, exp_state, exp_cols)
+
+        check_all()
+
+        # ledgered redelivery of the last chunk: metadata no-op per sink
         v = {n: db.get(n).version for n in names}
-        again = mirror_replay(spark, log_dir, db, batch_id="m1",
-                              max_concurrency=conc)
+        again = mirror_replay(spark, log_dir, db, files=chunks[-1],
+                              batch_id=f"m{k - 1}", max_concurrency=conc)
         assert all(s.ranges == 0 for s in again.values())
         assert {n: db.get(n).version for n in names} == v
+
+        # UN-ledgered stale redelivery of the FIRST chunk: no fork (events
+        # may arrive under a past subscription name), no state movement
+        mirror_replay(spark, log_dir, db, files=chunks[0],
+                      max_concurrency=conc)
+        assert db.names() == names
+        check_all()
     finally:
         shutil.rmtree(work, ignore_errors=True)
