@@ -146,7 +146,7 @@ def _replayed_table(spark: SparkSession, sf_dir: str, work_name: str,
 
 def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
                 n_events: int, seed: int, merge_mode: str = "cow",
-                maintain: bool = False,
+                maintain: bool = False, rebucket_to: int | None = None,
                 salt_partitions: int | None = None) -> DataFrame:
     table, _ = _replayed_table(spark, sf_dir, work_name, n_events, seed,
                                merge_mode, salt_partitions=salt_partitions)
@@ -156,6 +156,13 @@ def _run_replay(spark: SparkSession, sf_dir: str, work_name: str,
         # snapshot) — the returned state must be INVARIANT, which is why
         # cdc_maintain_state shares cdc_replay_state's expected-state oracle
         table.maintain(max_files_per_bucket=1, snapshots_keep=1)
+        table = table.refresh()
+    if rebucket_to is not None:
+        # online bucket-spec widening (LakeTable.rebucket): tombstone LSN
+        # fences, delta folds and the ledger must cross the swap intact —
+        # the returned state is INVARIANT, so cdc_rebucket_state shares
+        # cdc_replay_state's expected-state oracle
+        table.rebucket(rebucket_to)
         table = table.refresh()
     return _canonical_state(table.read())
 
@@ -1229,6 +1236,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # state is salt-invariant, so it value-checks against the SAME oracle
     q["cdc_replay_state_salted"] = lambda s, d: _run_replay(
         s, d, "q_replay_salt", n_events=2000, seed=7, salt_partitions=8)
+    # same deterministic log forced through merge-on-read, then an ONLINE
+    # bucket-spec widening (8 → 32, LakeTable.rebucket): the swap must fold
+    # delta chains and carry tombstone LSN fences, leaving the state
+    # invariant — value-checked against the SAME expected-state oracle
+    q["cdc_rebucket_state"] = lambda s, d: _run_replay(
+        s, d, "q_rebucket", n_events=2000, seed=7, merge_mode="mor",
+        rebucket_to=32)
     q["cdc_point_lookup"] = _run_point_lookup
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
@@ -1497,6 +1511,8 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_maintain_state"] = o["cdc_replay_state"]
         # the salted two-phase collapse must be state-invariant too
         o["cdc_replay_state_salted"] = o["cdc_replay_state"]
+        # online bucket-spec widening must be state-invariant too
+        o["cdc_rebucket_state"] = o["cdc_replay_state"]
         o["cdc_point_lookup"] = _point_lookup_oracle_sql()
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()

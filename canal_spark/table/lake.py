@@ -370,17 +370,21 @@ class LakeTable:
     # -------------------------------------------------------------- writes
     def _write_data(
         self, df: DataFrame, version: int, prefix: str = "b",
+        n_buckets: int | None = None,
     ) -> tuple[dict[str, list[str]], dict[str, list]]:
         """Write df (physical names + sys cols + _b) bucket-partitioned;
         move files into data/ and return (bucket -> new file names,
         file name -> [min_key, max_key, rows] footer stats). ``prefix``
         distinguishes base data files ("b") from merge-on-read delta
-        files ("d") in the data directory listing."""
+        files ("d") in the data directory listing. ``n_buckets`` overrides
+        the snapshot's bucket count for the shuffle width (the rebucket
+        path, where ``_b`` was computed under the NEW spec)."""
+        n_buckets = n_buckets or self.n_buckets
         staging = os.path.join(self.path, f"_staging-v{version:06d}-{uuid.uuid4().hex[:8]}")
         key_phys = self._phys(self.key_col)
         sort_cols = ["_b"] + ([key_phys] if key_phys in df.columns else [])
         (
-            df.repartition(self.n_buckets, "_b")
+            df.repartition(n_buckets, "_b")
             .sortWithinPartitions(*sort_cols)
             # key-sorted rows + a roll cap ⇒ the rolled files of one bucket
             # carry DISJOINT key ranges, keeping file-level pruning sharp
@@ -883,8 +887,63 @@ class LakeTable:
         self._commit_meta(files=files, deltas=deltas, file_stats=file_stats,
                           version=version)
 
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Online bucket-count evolution: rewrite the table under
+        ``pmod(xxhash64(key), new_n)`` as ONE atomic snapshot commit —
+        the Iceberg partition-spec change (``bucket(N, key)`` →
+        ``bucket(4N, key)``) plus ``rewrite_data_files`` in a single swap.
+
+        Why it exists: the bucket count is the MERGE/lookup pruning unit
+        AND the commit shuffle width, both sized to the table at creation.
+        At 10^10-row scale a table that grew 100× since creation ends up
+        with buckets far past the target file size — every CoW commit
+        rewrites huge files, every point lookup scans a huge bucket. A
+        real deployment must be able to widen the spec WITHOUT taking the
+        stream down: readers keep resolving the old snapshot until the
+        pointer swap, and the single writer calls this between batches
+        (same online contract as ``compact``). Cost is one full-table
+        shuffle+rewrite — schedule it like any other table-proportional
+        maintenance (off-peak, or per-bucket-group on a real cluster).
+
+        Semantics preserved across the swap:
+        - tombstones and their ``_source_lsn`` fences are carried (NOT
+          dropped like ``compact``), so late/duplicate pre-rebucket events
+          still fence correctly — no watermark precondition needed;
+        - merge-on-read delta chains fold into the new base files (the
+          ``read_raw`` max-LSN winner per key is what gets rewritten);
+        - MODIFY/CHANGE ``prev`` read-chains materialize into the current
+          physical columns, so the new snapshot drops them (every data
+          file now carries the live schema);
+        - ledger / watermark / truncate fence / changelog ride along
+          unchanged — the feed sees no phantom commit (data organization
+          only, like compact).
+        """
+        if new_n_buckets == self.n_buckets:
+            return {"skipped": True, "n_buckets": self.n_buckets}
+        raw = self.read_raw()  # delta-folded: one winner per key, tombstones kept
+        sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
+        out = raw.select(
+            *sel, "_source_lsn", "_deleted",
+            bucket_expr(self.key_col, new_n_buckets).alias("_b"))
+        version = self.snap["version"] + 1
+        new_files, new_stats = self._write_data(out, version,
+                                                n_buckets=new_n_buckets)
+        snap = dict(self.snap)
+        snap.update(
+            version=version, parent=self.snap["version"],
+            n_buckets=new_n_buckets, files=new_files, file_stats=new_stats,
+            deltas={},
+            columns=[{k: v for k, v in c.items() if k != "prev"}
+                     for c in self.snap["columns"]],
+        )
+        self._write_snapshot(snap)
+        return {"skipped": False, "n_buckets": new_n_buckets,
+                "files": sum(len(fl) for fl in new_files.values()),
+                "version": version}
+
     def maintain(self, max_files_per_bucket: int = 8,
-                 snapshots_keep: int = 4) -> dict:
+                 snapshots_keep: int = 4,
+                 target_rows_per_bucket: int | None = None) -> dict:
         """Scheduled maintenance for a long-running apply loop: compact the
         buckets fragmented past ``max_files_per_bucket`` and expire
         superseded snapshots (the reference frees acked events from its ring
@@ -918,9 +977,23 @@ class LakeTable:
                if len(fs) > max(1, max_files_per_bucket // 2)})
         if frag:
             self.compact(buckets=frag)
+        rebucketed = None
+        if target_rows_per_bucket:
+            # spec-growth trigger, metadata-only probe: manifest row counts
+            # say how far the table has outgrown its bucket count. Widen to
+            # the next power of two that brings the average bucket back
+            # under target, capped at 4× per pass (one maintenance cycle
+            # should not buy an arbitrarily large rewrite).
+            total = sum(st[2] for st in self.snap.get("file_stats", {}).values()
+                        if st and len(st) > 2)
+            want = -(-total // target_rows_per_bucket) if total else 0
+            if want > self.n_buckets:
+                new_n = 1 << (want - 1).bit_length()
+                new_n = min(new_n, self.n_buckets * 4)
+                rebucketed = self.rebucket(new_n).get("n_buckets")
         removed = self.expire_snapshots(keep_last=snapshots_keep)
         return {"skipped": False, "compacted_buckets": frag,
-                "files_removed": removed}
+                "files_removed": removed, "rebucketed_to": rebucketed}
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots."""
