@@ -201,6 +201,31 @@ class LakeTable:
         return self.snap["n_buckets"]
 
     @property
+    def next_n_buckets(self) -> int | None:
+        """Target bucket count of an in-progress incremental spec
+        migration (``rebucket_start``), else None."""
+        return self.snap.get("next_n_buckets")
+
+    def _bucket_col(self, col_name: str, snap: dict | None = None):
+        """Bucket assignment for a key column under the snapshot's CURRENT
+        routing. Plain ``bucket(N, key)`` normally; during an incremental
+        spec migration, keys whose OLD bucket has already migrated route to
+        their NEW-spec bucket. Decidable per key from the migrated set
+        alone because N | M makes the specs nest:
+        ``h mod M ≡ h mod N (mod N)``, so a key's new bucket always reduces
+        to its old bucket — old bucket b splits into exactly
+        {b, b+N, …, b+(M/N−1)·N} and nothing else."""
+        snap = snap or self.snap
+        n, m = snap["n_buckets"], snap.get("next_n_buckets")
+        h = F.xxhash64(F.col(col_name))
+        old = F.pmod(h, F.lit(n))
+        mig = [int(b) for b in snap.get("migrated", [])] if m else []
+        if not mig:
+            return old.cast("int")
+        return F.when(old.isin(mig),
+                      F.pmod(h, F.lit(m))).otherwise(old).cast("int")
+
+    @property
     def version(self) -> int:
         return self.snap["version"]
 
@@ -249,7 +274,11 @@ class LakeTable:
             # the read-time max-LSN fold correct wherever the true winner
             # lives (base or delta).
             return self._read_files(snap, list(file_names))
-        want = (list(range(snap["n_buckets"]))
+        # effective bucket ids come from the manifest, not range(n_buckets):
+        # during an incremental spec migration the files map holds old-spec
+        # ids (unmigrated) and new-spec ids ≥ N (migrated) side by side
+        want = (sorted({int(b) for b in snap["files"]}
+                       | {int(b) for b in snap.get("deltas", {})})
                 if buckets is None else [int(b) for b in buckets])
         deltas = snap.get("deltas", {})
         hot = [b for b in want if deltas.get(str(b))]
@@ -323,7 +352,7 @@ class LakeTable:
         kdf = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField(key, ktype)]))
         brows = kdf.select(
-            key, bucket_expr(key, snap["n_buckets"]).alias("_b")).collect()
+            key, self._bucket_col(key, snap).alias("_b")).collect()
         by_bucket: dict[int, list] = {}
         for r in brows:
             by_bucket.setdefault(r["_b"], []).append(r[key])
@@ -379,7 +408,8 @@ class LakeTable:
         files ("d") in the data directory listing. ``n_buckets`` overrides
         the snapshot's bucket count for the shuffle width (the rebucket
         path, where ``_b`` was computed under the NEW spec)."""
-        n_buckets = n_buckets or self.n_buckets
+        n_buckets = (n_buckets or self.snap.get("next_n_buckets")
+                     or self.n_buckets)
         staging = os.path.join(self.path, f"_staging-v{version:06d}-{uuid.uuid4().hex[:8]}")
         key_phys = self._phys(self.key_col)
         sort_cols = ["_b"] + ([key_phys] if key_phys in df.columns else [])
@@ -437,16 +467,21 @@ class LakeTable:
         return df.select(*sel)
 
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> None:
-        """Full replace (initial load / backfill). df has logical columns."""
+        """Full replace (initial load / backfill). df has logical columns.
+        An in-progress spec migration completes for free: everything is
+        being rewritten anyway, so land it all under the target spec."""
         key_phys = self._phys(self.key_col)
+        tgt_n = self.snap.get("next_n_buckets") or self.n_buckets
         pdf = self._to_physical(df).withColumn(
-            "_b", bucket_expr(key_phys, self.n_buckets)
+            "_b", bucket_expr(key_phys, tgt_n)
         )
         version = self.snap["version"] + 1
-        files, stats = self._write_data(pdf, version)
+        files, stats = self._write_data(pdf, version, n_buckets=tgt_n)
         snap = dict(self.snap)
         snap.update(version=version, files=files, file_stats=stats,
-                    deltas={}, parent=self.snap["version"])
+                    deltas={}, parent=self.snap["version"], n_buckets=tgt_n)
+        snap.pop("next_n_buckets", None)
+        snap.pop("migrated", None)
         if batch_id is not None:
             snap["applied_batches"] = _ledger_add(snap["applied_batches"], batch_id)
         self._write_snapshot(snap)
@@ -499,7 +534,7 @@ class LakeTable:
               for c in data_cols],
             F.col("op").alias("_c_op"),
             F.col("lsn").alias("_c_lsn"),
-            bucket_expr(key, self.n_buckets).alias("_b"),
+            self._bucket_col(key).alias("_b"),
         )
         chg.persist()
         try:
@@ -620,7 +655,7 @@ class LakeTable:
             # back to physical names for the files
             sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
             out_p = out.select(*sel, "_source_lsn", "_deleted").withColumn(
-                "_b", bucket_expr(self._phys(key), self.n_buckets)
+                "_b", self._bucket_col(self._phys(key))
             )
 
             version = self.snap["version"] + 1
@@ -865,11 +900,13 @@ class LakeTable:
         deltas back into base files (snapshot-expire analog). Only safe once
         no replays can deliver events older than the tombstone LSNs (i.e.
         past the checkpointed watermark)."""
-        buckets = buckets if buckets is not None else list(range(self.n_buckets))
+        buckets = buckets if buckets is not None else sorted(
+            {int(b) for b in self.snap["files"]}
+            | {int(b) for b in self.snap.get("deltas", {})})
         live = (
             self.read_raw(buckets=buckets)  # delta-folded: one winner/key
             .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
-            .withColumn("_b", bucket_expr(self.key_col, self.n_buckets))
+            .withColumn("_b", self._bucket_col(self.key_col))
         )
         sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
         out = live.select(*sel, "_source_lsn", "_deleted", "_b")
@@ -918,7 +955,7 @@ class LakeTable:
           unchanged — the feed sees no phantom commit (data organization
           only, like compact).
         """
-        if new_n_buckets == self.n_buckets:
+        if new_n_buckets == self.n_buckets and not self.snap.get("next_n_buckets"):
             return {"skipped": True, "n_buckets": self.n_buckets}
         raw = self.read_raw()  # delta-folded: one winner per key, tombstones kept
         sel = [F.col(c["name"]).alias(c["physical"]) for c in self.snap["columns"]]
@@ -936,14 +973,101 @@ class LakeTable:
             columns=[{k: v for k, v in c.items() if k != "prev"}
                      for c in self.snap["columns"]],
         )
+        # the full rewrite subsumes any in-progress incremental migration
+        snap.pop("next_n_buckets", None)
+        snap.pop("migrated", None)
         self._write_snapshot(snap)
         return {"skipped": False, "n_buckets": new_n_buckets,
                 "files": sum(len(fl) for fl in new_files.values()),
                 "version": version}
 
+    def rebucket_start(self, new_n_buckets: int) -> None:
+        """Begin an INCREMENTAL spec migration to ``new_n_buckets`` — a
+        metadata-only commit; data moves later, one ``rebucket_step`` at a
+        time, while merges and reads stay live against the mixed spec.
+
+        Why incremental: the one-shot ``rebucket`` is a full-table
+        shuffle+rewrite in a single commit — at 10^10 rows that is a
+        multi-hour job holding the maintenance slot. Because the new spec
+        must be a MULTIPLE of the old (N | M), the specs nest: old bucket b
+        splits into exactly {b, b+N, …} and no key ever crosses between old
+        buckets. Each step therefore migrates a bounded set of old buckets
+        as its own atomic commit; routing for merges/lookups is decided per
+        key from the ``migrated`` set (``_bucket_col``). The stream never
+        pauses, and a crash resumes from the manifest."""
+        if self.snap.get("next_n_buckets"):
+            raise ValueError("spec migration already in progress")
+        if new_n_buckets == self.n_buckets:
+            return
+        if new_n_buckets % self.n_buckets:
+            raise ValueError(
+                f"incremental widening needs N | M "
+                f"(got {self.n_buckets} -> {new_n_buckets}); "
+                f"use rebucket() for an arbitrary respec")
+        self._commit_meta(next_n_buckets=new_n_buckets, migrated=[])
+
+    def rebucket_step(self, max_buckets: int = 1) -> dict:
+        """Migrate up to ``max_buckets`` old-spec buckets to the target
+        spec: rewrite their files (delta-folded, tombstones and fences
+        kept) under ``bucket(M, key)`` as one atomic commit. When the last
+        old bucket moves, the snapshot flips ``n_buckets`` to M and the
+        migration fields disappear. Commit cost is bounded by the step's
+        buckets — never the table."""
+        m = self.snap.get("next_n_buckets")
+        if not m:
+            return {"done": True, "migrated": [], "remaining": 0}
+        n = self.n_buckets
+        mig = {int(b) for b in self.snap.get("migrated", [])}
+        todo = [b for b in range(n) if b not in mig][:max_buckets]
+        if not todo:
+            # everything already moved: flip the spec (normally done by the
+            # final data step; this closes a crash-between-commits window)
+            snap = dict(self.snap)
+            snap["version"] = self.snap["version"] + 1
+            snap["parent"] = self.snap["version"]
+            snap["n_buckets"] = m
+            snap.pop("next_n_buckets", None)
+            snap.pop("migrated", None)
+            self._write_snapshot(snap)
+            remaining = 0
+        else:
+            raw = self.read_raw(buckets=todo)  # folded winners, tombstones kept
+            sel = [F.col(c["name"]).alias(c["physical"])
+                   for c in self.snap["columns"]]
+            out = raw.select(*sel, "_source_lsn", "_deleted",
+                             bucket_expr(self.key_col, m).alias("_b"))
+            version = self.snap["version"] + 1
+            new_files, new_stats = self._write_data(out, version, n_buckets=m)
+            files = dict(self.snap["files"])
+            deltas = dict(self.snap.get("deltas", {}))
+            fstats = dict(self.snap.get("file_stats", {}))
+            for b in todo:
+                for f in files.pop(str(b), []) + deltas.pop(str(b), []):
+                    fstats.pop(f, None)
+            for b, fl in new_files.items():
+                # old bucket b's keys land only in {b, b+N, ...}: the sole
+                # new id < N is b itself, just popped — no collision with
+                # other unmigrated old buckets
+                files[str(b)] = files.get(str(b), []) + fl
+            fstats.update(new_stats)
+            mig |= set(todo)
+            snap = dict(self.snap)
+            snap.update(version=version, parent=self.snap["version"],
+                        files=files, deltas=deltas, file_stats=fstats,
+                        migrated=sorted(mig))
+            remaining = n - len(mig)
+            if remaining == 0:
+                snap["n_buckets"] = m
+                snap.pop("next_n_buckets", None)
+                snap.pop("migrated", None)
+            self._write_snapshot(snap)
+        return {"done": remaining == 0, "migrated": todo,
+                "remaining": remaining}
+
     def maintain(self, max_files_per_bucket: int = 8,
                  snapshots_keep: int = 4,
-                 target_rows_per_bucket: int | None = None) -> dict:
+                 target_rows_per_bucket: int | None = None,
+                 rebucket_step_buckets: int = 2) -> dict:
         """Scheduled maintenance for a long-running apply loop: compact the
         buckets fragmented past ``max_files_per_bucket`` and expire
         superseded snapshots (the reference frees acked events from its ring
@@ -977,23 +1101,33 @@ class LakeTable:
                if len(fs) > max(1, max_files_per_bucket // 2)})
         if frag:
             self.compact(buckets=frag)
-        rebucketed = None
-        if target_rows_per_bucket:
+        if not self.snap.get("next_n_buckets") and target_rows_per_bucket:
             # spec-growth trigger, metadata-only probe: manifest row counts
-            # say how far the table has outgrown its bucket count. Widen to
-            # the next power of two that brings the average bucket back
-            # under target, capped at 4× per pass (one maintenance cycle
-            # should not buy an arbitrarily large rewrite).
+            # say how far the table has outgrown its bucket count. Start an
+            # incremental migration to the power-of-two multiple that brings
+            # the average bucket back under target, capped at 4× per
+            # migration (one migration should not buy an arbitrarily large
+            # total rewrite).
             total = sum(st[2] for st in self.snap.get("file_stats", {}).values()
                         if st and len(st) > 2)
             want = -(-total // target_rows_per_bucket) if total else 0
             if want > self.n_buckets:
-                new_n = 1 << (want - 1).bit_length()
-                new_n = min(new_n, self.n_buckets * 4)
-                rebucketed = self.rebucket(new_n).get("n_buckets")
+                factor = -(-want // self.n_buckets)
+                factor = min(4, 1 << (factor - 1).bit_length())
+                self.rebucket_start(self.n_buckets * factor)
+        rebucketed = None
+        remaining = 0
+        if self.snap.get("next_n_buckets"):
+            # one bounded migration step per maintenance pass: commit cost
+            # stays O(step buckets) while merges keep landing between passes
+            st = self.rebucket_step(rebucket_step_buckets)
+            remaining = st["remaining"]
+            if st["done"]:
+                rebucketed = self.n_buckets
         removed = self.expire_snapshots(keep_last=snapshots_keep)
         return {"skipped": False, "compacted_buckets": frag,
-                "files_removed": removed, "rebucketed_to": rebucketed}
+                "files_removed": removed, "rebucketed_to": rebucketed,
+                "migration_remaining": remaining}
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots."""

@@ -130,15 +130,91 @@ def test_rebucket_merge_and_lookup_after_swap(spark, tmp_work):
     assert t.n_buckets == 2 and _state(t)["z"] == ([6, 6], 2, "web")
 
 
-def test_maintain_auto_rebucket_trigger(spark, tmp_work):
+def test_maintain_auto_rebucket_is_incremental(spark, tmp_work):
     rows = [(f"k{i:04d}", [i], 1, "web") for i in range(200)]
     t = _mk(spark, os.path.join(tmp_work, "t"), rows)
     # give maintain a watermark so it is not a guard no-op
     t.merge_apply(_chg(spark, [("k0000", [0], 1, "web", "U", "lsn-001")]),
                   batch_id="w1")
-    res = t.maintain(target_rows_per_bucket=20)
-    # 200 rows / 20 target = 10 buckets → next pow2 = 16, capped at 4×4=16
-    assert res["rebucketed_to"] == 16 and t.n_buckets == 16
+    # 200 rows / 20 target = 10 buckets → ×4 cap from 4 → target spec 16,
+    # migrated 2 old buckets per maintenance pass: done on the 2nd pass
+    r1 = t.maintain(target_rows_per_bucket=20)
+    assert r1["rebucketed_to"] is None and r1["migration_remaining"] == 2
+    assert t.n_buckets == 4 and t.next_n_buckets == 16
+    assert len(_state(t)) == 200          # mixed-spec read is exact
+    r2 = t.maintain(target_rows_per_bucket=20)
+    assert r2["rebucketed_to"] == 16 and t.n_buckets == 16
+    assert t.next_n_buckets is None
     assert len(_state(t)) == 200
-    # already wide enough: second pass is a spec no-op
-    assert t.maintain(target_rows_per_bucket=20)["rebucketed_to"] is None
+    # already wide enough: next pass starts nothing
+    r3 = t.maintain(target_rows_per_bucket=20)
+    assert r3["rebucketed_to"] is None and r3["migration_remaining"] == 0
+
+
+def test_incremental_migration_with_live_merges(spark, tmp_work):
+    """Merges keep landing BETWEEN migration steps; every intermediate
+    read, lookup and the final state must be exact under the mixed spec."""
+    rows = [(f"k{i:03d}", [i], 1, "web") for i in range(60)]
+    expected = {d: (list(tk), n, s) for d, tk, n, s in rows}
+    t = _mk(spark, os.path.join(tmp_work, "t"), rows)   # 4 buckets
+    t.rebucket_start(16)
+    lsn = 100
+    step_sizes = []
+    done = False
+    i = 0
+    while not done:
+        st = t.rebucket_step(1)
+        step_sizes.append(len(st["migrated"]))
+        done = st["done"]
+        # a merge between every step: update one key, insert one, delete one
+        up, new, dead = f"k{i:03d}", f"n{i:03d}", f"k{i + 30:03d}"
+        t.merge_apply(_chg(spark, [
+            (up, [99, i], 2, "code", "U", f"lsn-{lsn:04d}"),
+            (new, [i], 1, "wiki", "U", f"lsn-{lsn + 1:04d}"),
+            (dead, None, None, None, "D", f"lsn-{lsn + 2:04d}"),
+        ]), batch_id=f"mb{i}")
+        expected[up] = ([99, i], 2, "code")
+        expected[new] = ([i], 1, "wiki")
+        expected.pop(dead, None)
+        lsn += 10
+        assert _state(t) == expected    # mixed-spec read exact mid-flight
+        got = {r["doc_id"] for r in t.lookup([up, new, dead]).collect()}
+        assert got == {up, new}         # routed point lookup mid-flight
+        i += 1
+    assert all(s <= 1 for s in step_sizes) and sum(step_sizes) == 4
+    assert t.n_buckets == 16 and t.next_n_buckets is None
+    assert _state(t) == expected
+
+
+def test_incremental_migration_fence_and_resume_from_manifest(spark, tmp_work):
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    t.merge_apply(_chg(spark, [("b", None, None, None, "D", "lsn-050")]),
+                  batch_id="d1")
+    t.rebucket_start(8)
+    t.rebucket_step(1)
+    # crash/resume: a fresh handle reads the mixed-spec manifest and
+    # continues the migration where it stopped
+    t2 = LakeTable(spark, t.path)
+    assert t2.next_n_buckets == 8 and len(t2.snap["migrated"]) == 1
+    while not t2.rebucket_step(2)["done"]:
+        pass
+    assert t2.n_buckets == 8
+    # the tombstone's LSN fence crossed the migration: stale update loses
+    t2.merge_apply(_chg(spark, [("b", [3], 1, "web", "U", "lsn-001")]),
+                   batch_id="d2")
+    assert "b" not in _state(t2)
+
+
+def test_rebucket_start_validates_multiple(spark, tmp_work):
+    import pytest
+
+    t = _mk(spark, os.path.join(tmp_work, "t"), BASE)
+    with pytest.raises(ValueError):
+        t.rebucket_start(6)             # 4 ∤ 6
+    t.rebucket_start(8)
+    with pytest.raises(ValueError):
+        t.rebucket_start(16)            # already in progress
+    # one-shot rebucket subsumes the active migration
+    t.rebucket(16)
+    assert t.n_buckets == 16 and t.next_n_buckets is None
+    assert len(_state(t)) == len(BASE)
