@@ -441,6 +441,95 @@ def _wire_topic_oracle_sql() -> str:
     """
 
 
+# static poison winners for the DLQ query: (event_type, before, after,
+# pk_before, pk_after) — one per quarantine reason. Keys are outside the
+# generator's doc-id space so the clean log's state is untouched.
+_DLQ_POISON = [
+    ("UPDATE", '{"doc_id":"zz-corrupt"}', '{"doc_id":"zz-corrupt","tokens":[7,',
+     "zz-corrupt", "zz-corrupt"),
+    ("INSERT", None, '{"n_tok":5}', None, None),
+    ("UPDATE", '{"doc_id":"zz-missing"}', None, "zz-missing", "zz-missing"),
+]
+
+
+def _run_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter queue (pipeline.apply_dml_range dlq): replay the
+    deterministic log in WIRE shape with one poisoned trailing segment —
+    the three poison winners (malformed JSON, unroutable key, missing
+    upsert payload) are preserved in the DLQ with a reason instead of
+    silently dropping or upserting NULLs (reference skip-and-log posture,
+    client-adapter/rdb/.../RdbSyncService.java:48,284 skipDupException).
+    Returns the DLQ contents; the clean log must contribute ZERO rows."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.operators.decode import convert_log_to_wire
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+
+    work = os.path.join(_WORK, "q_dlq")
+    shutil.rmtree(work, ignore_errors=True)
+    typed_dir = os.path.join(work, "binlog")
+    wire_dir = os.path.join(work, "wire")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(typed_dir, _replay_spec(n_events=1200, seed=41), base=base)
+    convert_log_to_wire(spark, typed_dir, wire_dir)
+    # written with pyarrow at the segments' exact physical types (µs
+    # timestamps) so the batch reader's mergeSchema unifies cleanly
+    import datetime
+
+    import pyarrow as pa
+
+    n = len(_DLQ_POISON)
+    poison = pa.table({
+        "entry_type": pa.array(["ROWDATA"] * n, pa.string()),
+        "event_type": pa.array([r[0] for r in _DLQ_POISON], pa.string()),
+        "gtid_seq": pa.array([10 ** 9 + i for i in range(n)], pa.int64()),
+        "binlog_file": pa.array(["mysql-bin.999999"] * n, pa.string()),
+        "binlog_pos": pa.array([4 + i for i in range(n)], pa.int64()),
+        "server_id": pa.array([1] * n, pa.int64()),
+        "execute_ts": pa.array([datetime.datetime(2026, 1, 1)] * n,
+                               pa.timestamp("us")),
+        "schema_name": pa.array(["train"] * n, pa.string()),
+        "table_name": pa.array(["tokseq"] * n, pa.string()),
+        "txn_id": pa.array(["txp"] * n, pa.string()),
+        "is_ddl": pa.array([False] * n, pa.bool_()),
+        "sql": pa.array([None] * n, pa.string()),
+        "before": pa.array([r[1] for r in _DLQ_POISON], pa.string()),
+        "after": pa.array([r[2] for r in _DLQ_POISON], pa.string()),
+        "pk_before": pa.array([r[3] for r in _DLQ_POISON], pa.string()),
+        "pk_after": pa.array([r[4] for r in _DLQ_POISON], pa.string()),
+    })
+    pq.write_table(poison, os.path.join(wire_dir, "mysql-bin.999999.parquet"))
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    dlq = os.path.join(work, "dlq")
+    replay(spark, wire_dir, table.refresh(), wire=True, dlq=dlq)
+    return spark.read.parquet(dlq).select("key", "op", "reason", "raw")
+
+
+def _dlq_oracle_sql() -> str:
+    rows = []
+    for et, _b, a, _pb, pa in _DLQ_POISON:
+        op = "U"
+        if pa is None and a is not None and '"doc_id"' not in a:
+            rows.append((None, op, "no_pk", a))
+        elif a is None:
+            rows.append((pa, op, "missing_payload", None))
+        else:
+            rows.append((pa, op, "corrupt_payload", a))
+    vals = ", ".join(
+        "(" + ", ".join("NULL" if v is None else "'" + v.replace("'", "''") + "'"
+                        for v in r) + ")"
+        for r in rows)
+    return (f"SELECT * FROM (VALUES {vals}) t(key, op, reason, raw)")
+
+
 def _run_group_replay(spark: SparkSession) -> DataFrame:
     """Sharded-upstream replay (GroupEventParser analog): two disjoint-key
     shard logs merge into one table in (execute_ts, shard, lsn) timeline
@@ -1244,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "q_rebucket", n_events=2000, seed=7, merge_mode="mor",
         rebucket_to=32)
     q["cdc_point_lookup"] = _run_point_lookup
+    q["cdc_dlq_replay"] = _run_dlq_replay
     q["cdc_group_replay_state"] = lambda s, d: _run_group_replay(s)
     q["cdc_view_sync"] = _run_view_sync
     q["cdc_filtered_view"] = _run_filtered_view
@@ -1514,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         # online bucket-spec widening must be state-invariant too
         o["cdc_rebucket_state"] = o["cdc_replay_state"]
         o["cdc_point_lookup"] = _point_lookup_oracle_sql()
+        o["cdc_dlq_replay"] = _dlq_oracle_sql()
         o["cdc_group_replay_state"] = _group_replay_state_oracle_sql()
         o["cdc_view_sync"] = _view_sync_oracle_sql()
         o["cdc_filtered_view"] = _filtered_view_oracle_sql()

@@ -148,7 +148,8 @@ def collapse_lww(changes: DataFrame, key: str = "doc_id",
 
 
 def wire_net_changes(events: DataFrame, key: str,
-                     image_schema, salt_partitions: int | None = None) -> DataFrame:
+                     image_schema, salt_partitions: int | None = None,
+                     quarantine: bool = False) -> DataFrame:
     """Wire-mode fused path: LWW-collapse the RAW JSON payloads, decode
     only the per-key winners.
 
@@ -212,16 +213,47 @@ def wire_net_changes(events: DataFrame, key: str,
     # ride as strings in the typed fixture too), and from_json NULLs a
     # quoted numeric under a numeric field instead of coercing — the cast
     # is the sink-type conversion the adapters do anyway (SURVEY §2 row 39)
-    img = F.from_json(F.get(parts, 2), tolerant_wire_schema(image_schema),
-                      _JSON_OPTS)
+    decode_schema = tolerant_wire_schema(image_schema)
+    if quarantine:
+        # poison-winner detection, fused into the SAME winner decode (no
+        # extra pass): declaring a corrupt-record column makes the
+        # PERMISSIVE decode put the raw text there and NULL every field
+        # for malformed JSON (instead of best-effort salvaging a truncated
+        # payload's prefix fields). A winner is quarantined when its key
+        # could not be extracted at all (no native pk envelope, no JSON
+        # probe hit), its upsert payload is malformed, or the payload is
+        # missing outright. The reference's posture for poison rows is
+        # skip-and-log (RdbSyncService.skipDupException, client-adapter/
+        # rdb/.../RdbSyncService.java:48,284) or fail-the-batch
+        # (CanalParseException, parse/.../AbstractEventParser.java:151);
+        # the DLQ generalizes skip-and-log by PRESERVING the raw winner.
+        bad_col = "_corrupt_rec"
+        while bad_col in decode_schema.fieldNames():
+            bad_col = "_" + bad_col
+        decode_schema = decode_schema.add(bad_col, T.StringType())
+        img = F.from_json(F.get(parts, 2), decode_schema,
+                          {**_JSON_OPTS, "columnNameOfCorruptRecord": bad_col})
+    else:
+        img = F.from_json(F.get(parts, 2), decode_schema, _JSON_OPTS)
     types = {f.name: f.dataType for f in image_schema.fields}
     data_cols = [f.name for f in image_schema.fields if f.name != key]
-    return final.select(
-        key,
+    sel = [
+        F.col(key),
         *[img.getItem(c).cast(types[c]).alias(c) for c in data_cols],
         parts.getItem(1).alias("op"),
         parts.getItem(0).alias("lsn"),
-    )
+    ]
+    if quarantine:
+        raw = F.get(parts, 2)
+        is_upsert = parts.getItem(1) == "U"
+        reason = (
+            F.when(F.col(key).isNull(), F.lit("no_pk"))
+            .when(is_upsert & img.getItem(bad_col).isNotNull(),
+                  F.lit("corrupt_payload"))
+            .when(is_upsert & raw.isNull(), F.lit("missing_payload")))
+        sel += [reason.alias("_q_reason"),
+                F.when(reason.isNotNull(), raw).alias("_q_raw")]
+    return final.select(*sel)
 
 
 def collapse_lww_window(changes: DataFrame, key: str = "doc_id") -> DataFrame:

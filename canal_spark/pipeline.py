@@ -89,13 +89,21 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
                     batch_id: str | None = None,
                     salt_partitions: int | None = None,
                     wire: bool = False,
-                    views: list | None = None) -> dict:
+                    views: list | None = None,
+                    dlq: str | None = None) -> dict:
     """LWW-collapse + MERGE the DML events with lo < lsn ≤ hi.
 
     ``views``: JoinedView instances maintained from the SAME net-change set
     in the same range (the ES-adapter denormalized-sync analog,
     client-adapter/escore/.../ESSyncService.java:458-492) — the collapse
-    shuffle is persisted once and reused for every sink."""
+    shuffle is persisted once and reused for every sink.
+
+    ``dlq``: dead-letter directory. When set, poison winners (unroutable
+    key, corrupt wire payload) are preserved there with a reason instead of
+    silently dropping / upserting NULLs, and the merge sees only the good
+    rows — the reference's skip-and-log posture (RdbSyncService.java:48,284
+    skipDupException) upgraded to keep the evidence. Off by default: the
+    happy-path plan is unchanged."""
     rng = events
     if lo:
         rng = rng.where(F.col("lsn") > lo)
@@ -107,7 +115,8 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
         # codec work is O(keys), not O(events) (operators/lww.py)
         net = wire_net_changes(rng, key=table.key_col,
                                image_schema=table.schema(),
-                               salt_partitions=salt_partitions)
+                               salt_partitions=salt_partitions,
+                               quarantine=dlq is not None)
     else:
         data_cols = table.logical_columns()
         available = _image_fields(rng)
@@ -122,25 +131,53 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
                 )
         net = collapse_lww(changes, key=table.key_col,
                            salt_partitions=salt_partitions)
-    if not views:
-        return table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
-    net = net.persist()
+    n_bad = 0
+    cached = None  # unpersist the plan that was persisted (PERF.md #20)
+    if dlq is not None:
+        key = table.key_col
+        if "_q_reason" not in net.columns:
+            # typed path: structs cannot be malformed, but a null key is
+            # still unroutable (would silently vanish in the merge)
+            payload = [c for c in net.columns if c not in (key, "op", "lsn")]
+            net = net.withColumn(
+                "_q_reason", F.when(F.col(key).isNull(), F.lit("no_pk"))
+            ).withColumn(
+                "_q_raw", F.when(F.col("_q_reason").isNotNull(),
+                                 F.to_json(F.struct(*payload))))
+        cached = net.persist()
+        bad = cached.where(F.col("_q_reason").isNotNull())
+        n_bad = bad.count()
+        if n_bad:
+            (bad.select(F.col(key).cast("string").alias("key"), "op", "lsn",
+                        F.col("_q_reason").alias("reason"),
+                        F.col("_q_raw").alias("raw"),
+                        F.lit(batch_id or "").alias("batch_id"))
+             .write.mode("append").parquet(dlq))
+        net = cached.where(F.col("_q_reason").isNull()).drop("_q_reason",
+                                                             "_q_raw")
+    elif views:
+        cached = net.persist()
+        net = cached
     try:
         res = table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
-        for i, v in enumerate(views):
+        for i, v in enumerate(views or []):
             v.apply(net,
                     batch_id=None if batch_id is None else f"{batch_id}/v{i}",
                     max_lsn=hi)
+        if dlq is not None:
+            res["quarantined"] = n_bad
         return res
     finally:
-        net.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
 
 def apply_events(events: DataFrame, table: LakeTable,
                  batch_id: str | None = None,
                  salt_partitions: int | None = None,
                  wire: bool = False,
-                 views: list | None = None) -> ReplayStats:
+                 views: list | None = None,
+                 dlq: str | None = None) -> ReplayStats:
     """Apply a prepared (filtered, LSN'd, ROWDATA-only) event range:
     DDL-split sub-ranges, merge each, mirror DDL between them."""
     stats = ReplayStats()
@@ -191,6 +228,7 @@ def apply_events(events: DataFrame, table: LakeTable,
             _gate(dml, sub_i), table, lo, ddl_lsn,
             batch_id=None if batch_id is None else f"{batch_id}/r{i}",
             salt_partitions=salt_partitions, wire=wire, views=views,
+            dlq=dlq,
         )
         stats.merges.append(res)
         stats.ranges += 1
@@ -207,6 +245,7 @@ def apply_events(events: DataFrame, table: LakeTable,
         _gate(dml, tracker.subscribed), table, lo, None,
         batch_id=None if batch_id is None else f"{batch_id}/tail",
         salt_partitions=salt_partitions, wire=wire, views=views,
+        dlq=dlq,
     )
     stats.merges.append(res)
     stats.ranges += 1
@@ -224,7 +263,8 @@ def group_replay(spark: SparkSession, log_dirs: list[str], table: LakeTable,
                  batch_id: str | None = None,
                  salt_partitions: int | None = None,
                  wire: bool = False,
-                 views: list | None = None) -> ReplayStats:
+                 views: list | None = None,
+                 dlq: str | None = None) -> ReplayStats:
     """Batch replay of N sharded logs as ONE timeline (GroupEventParser
     analog, batch form): per-shard scans union under a ``src_id`` tag and
     every event gets the merged (execute_ts, src, native-lsn) LSN, so the
@@ -247,7 +287,7 @@ def group_replay(spark: SparkSession, log_dirs: list[str], table: LakeTable,
     ev = ev.withColumn("lsn", merged_lsn_col())
     return apply_events(ev, table, batch_id=batch_id,
                         salt_partitions=salt_partitions, wire=wire,
-                        views=views)
+                        views=views, dlq=dlq)
 
 
 def replay(spark: SparkSession, log_dir: str, table: LakeTable,
@@ -257,7 +297,8 @@ def replay(spark: SparkSession, log_dir: str, table: LakeTable,
            salt_partitions: int | None = None,
            wire: bool = False,
            start: "StartPosition | None" = None,
-           views: list | None = None) -> ReplayStats:
+           views: list | None = None,
+           dlq: str | None = None) -> ReplayStats:
     """Batch replay of a (portion of the) event log into the sink table.
 
     ``start`` (streaming/positions.find_start_position) bootstraps from a
@@ -277,4 +318,4 @@ def replay(spark: SparkSession, log_dir: str, table: LakeTable,
     ev = prepare_events(raw, table_regex=table_regex)
     return apply_events(ev, table, batch_id=batch_id,
                         salt_partitions=salt_partitions, wire=wire,
-                        views=views)
+                        views=views, dlq=dlq)

@@ -70,6 +70,7 @@ class StreamingReplay:
         maintenance_every: int | None = None,
         max_files_per_bucket: int = 8,
         snapshots_keep: int = 4,
+        dlq_dir: str | None = None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -92,6 +93,13 @@ class StreamingReplay:
         self.maintenance_every = maintenance_every
         self.max_files_per_bucket = max_files_per_bucket
         self.snapshots_keep = snapshots_keep
+        # dead-letter directory: poison winners (unroutable key / corrupt
+        # wire payload) are preserved there per epoch instead of silently
+        # dropping or upserting NULLs (pipeline.apply_dml_range), and each
+        # metrics row reports the count — the skip-and-log posture of the
+        # reference's adapters (RdbSyncService.skipDupException) with the
+        # evidence kept queryable
+        self.dlq_dir = dlq_dir
         self._data_epochs = 0
         # bootstrap-without-checkpoint start (positions.StartPosition):
         # applied as a per-batch boundary predicate; events before it are
@@ -151,6 +159,7 @@ class StreamingReplay:
             "epoch": epoch_id,
             "rows": n_rows,
             "events_applied": stats.events,
+            "quarantined": sum(m.get("quarantined", 0) for m in stats.merges),
             "ranges": stats.ranges,
             "ddls": stats.ddls,
             "cut_lsn": cut,
@@ -173,6 +182,7 @@ class StreamingReplay:
             salt_partitions=self.salt_partitions,
             wire=True,
             views=self.views,
+            dlq=self.dlq_dir,
         )
 
     def _sink_version(self):
