@@ -400,6 +400,89 @@ def test_fuzz_views_match_recompute(spark, seed, n_events, n_base, ins, upd,
         shutil.rmtree(work, ignore_errors=True)
 
 
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(20, 700),
+    n_base=st.integers(5, 150),
+    ins=st.integers(0, 10), upd=st.integers(0, 10), dele=st.integers(0, 10),
+    pk_change_frac=st.sampled_from([0.0, 0.2]),
+    events_per_file=st.integers(7, 300),
+    n_chunks=st.integers(2, 4),
+    factor=st.sampled_from([2, 4]),
+    start_after=st.integers(0, 3),
+    step_k=st.integers(1, 3),
+    merge_mode=st.sampled_from(["cow", "mor", "auto"]),
+    ddl=st.none() | st.tuples(st.integers(0, 700), st.sampled_from(_DDLS[:4])),
+)
+def test_fuzz_replay_with_spec_migration(spark, seed, n_events, n_base, ins,
+                                         upd, dele, pk_change_frac,
+                                         events_per_file, n_chunks, factor,
+                                         start_after, step_k, merge_mode,
+                                         ddl):
+    """Incremental bucket-spec migration under fuzz: a random log replayed
+    in ledgered chunks with rebucket_start/step interleaved at a random
+    point and pace (the migration may still be UNFINISHED at the end — the
+    mixed-spec read must equal the oracle anyway), across all three merge
+    modes and the DDL pool incl. TRUNCATE mid-migration; then a stale
+    chunk redelivered un-ledgered must not move the state, and driving the
+    migration to completion must leave it invariant."""
+    tot = (ins + upd + dele) or 1
+    spec = CdcLogSpec(
+        n_events=n_events, seed=seed,
+        op_mix=(ins / tot, upd / tot, dele / tot),
+        pk_change_frac=pk_change_frac,
+        events_per_file=events_per_file, other_table_frac=0.05,
+        ddl_script=[(min(ddl[0], n_events - 1), ddl[1])] if ddl else [],
+    )
+    work = os.path.join(WORK, f"mgfuzz_{next(_RUN)}_{seed}_{n_events}")
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        base = generate_base_table(n_base, seed=seed)
+        log_dir = os.path.join(work, "log")
+        generate_cdc_log(log_dir, spec, base)
+        table = LakeTable.create(
+            spark, os.path.join(work, "tokseq"), TOKSEQ_SCHEMA, n_buckets=4,
+            merge_mode=merge_mode,
+            df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
+        files = sorted(f for f in os.listdir(log_dir)
+                       if f.endswith(".parquet"))
+        k = min(n_chunks, len(files))
+        bounds = [round(i * len(files) / k) for i in range(k + 1)]
+        chunks = [files[bounds[i]:bounds[i + 1]] for i in range(k)]
+        started = False
+        for i, chunk in enumerate(chunks):
+            if chunk:
+                replay(spark, log_dir, table.refresh(), files=chunk,
+                       batch_id=f"c{i}")
+            if not started and i >= min(start_after, k - 1):
+                table.refresh().rebucket_start(4 * factor)
+                started = True
+            elif started:
+                table.refresh().rebucket_step(step_k)
+        table = table.refresh()
+
+        expected, cols = oracle_final_state(base, log_dir)
+        assert table.logical_columns() == cols
+        assert_state_equal(rows_to_state(table.read().collect(), cols),
+                           expected, cols)
+        # at-least-once mid-migration: a stale chunk, un-ledgered
+        if chunks[-1]:
+            replay(spark, log_dir, table.refresh(), files=chunks[-1])
+            table = table.refresh()
+            assert_state_equal(rows_to_state(table.read().collect(), cols),
+                               expected, cols)
+        # finish the migration: state invariant, spec flipped
+        while table.next_n_buckets:
+            table.rebucket_step(2)
+        assert table.n_buckets == 4 * factor
+        assert_state_equal(rows_to_state(table.read().collect(), cols),
+                           expected, cols)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MIRROR_DDLS = [
     "ALTER TABLE train.tokseq ADD COLUMN q1 STRING",
     "ALTER TABLE train.tokseq ADD COLUMN s1 INT, ADD COLUMN s2 STRING",
