@@ -170,6 +170,55 @@ def main() -> int:
           r"PushedFilters: \[.*EqualTo\(schema_name,train\).*"
           r"EqualTo\(table_name,tokseq\)")
 
+    # 11. bucket routing: the steady-state merge path compiles to the PLAIN
+    # pmod(xxhash64) expression — zero branching tax from the spec-migration
+    # machinery — and flips to the routed CASE WHEN only while a migration
+    # is actually in flight (lake._bucket_col)
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from canal_spark.table.lake import LakeTable
+
+    tdir = os.path.join(_REPO, ".work", "audit_route_tbl")
+    _sh.rmtree(tdir, ignore_errors=True)
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("n_tok", T.IntegerType())])
+    tbl = LakeTable.create(spark, tdir, schema, n_buckets=4,
+                           df=spark.createDataFrame(
+                               [("a", 1), ("b", 2)], schema))
+    probe = spark.createDataFrame([("x",)], "doc_id string")
+    steady = plan_of(probe.select(tbl._bucket_col("doc_id").alias("_b")))
+    out_lines.append(f"===== bucket_route_steady =====\n{steady}\n")
+    checks.append(("bucket_route_steady: plain pmod(xxhash64), no CASE",
+                   "CASE WHEN" not in steady and "xxhash64" in steady,
+                   steady))
+    tbl.rebucket_start(8)
+    tbl.rebucket_step(1)
+    routed_mig = plan_of(probe.select(tbl._bucket_col("doc_id").alias("_b")))
+    out_lines.append(f"===== bucket_route_migrating =====\n{routed_mig}\n")
+    checks.append(("bucket_route_migrating: routed CASE WHEN present",
+                   "CASE WHEN" in routed_mig, routed_mig))
+    _sh.rmtree(tdir, ignore_errors=True)
+
+    # 12. DLQ off = the wire winner decode carries NO corrupt-record column
+    # (the quarantine probe costs nothing unless dlq is set)
+    from canal_spark.operators.lww import wire_net_changes
+
+    img_schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                               T.StructField("n_tok", T.IntegerType())])
+    net_off = plan_of(wire_net_changes(wev.withColumn(
+        "is_ddl", F.lit(False)), key="doc_id", image_schema=img_schema))
+    out_lines.append(f"===== wire_decode_no_dlq =====\n{net_off}\n")
+    checks.append(("wire_decode_no_dlq: no corrupt-record column",
+                   "_corrupt_rec" not in net_off, net_off))
+    net_on = plan_of(wire_net_changes(wev.withColumn(
+        "is_ddl", F.lit(False)), key="doc_id", image_schema=img_schema,
+        quarantine=True))
+    out_lines.append(f"===== wire_decode_dlq =====\n{net_on}\n")
+    checks.append(("wire_decode_dlq: corrupt-record probe present",
+                   "_corrupt_rec" in net_on, net_on))
+
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
 
