@@ -134,6 +134,7 @@ class GroupStreamingReplay:
         max_files_per_bucket: int = 8,
         snapshots_keep: int = 4,
         hold_missing_sources: int = 0,
+        dlq_dir: str | None = None,
     ):
         self.spark = spark
         self.log_dirs = list(log_dirs)
@@ -151,6 +152,9 @@ class GroupStreamingReplay:
         self.maintenance_every = maintenance_every
         self.max_files_per_bucket = max_files_per_bucket
         self.snapshots_keep = snapshots_keep
+        # dead-letter directory for poison winners, same contract as the
+        # single-source stream (pipeline.apply_dml_range dlq)
+        self.dlq_dir = dlq_dir
         self._data_epochs = 0
         # liveness (ADVICE r02): with K>0, a non-empty source that goes
         # silent holds the barrier fence for up to K consecutive batches
@@ -214,6 +218,7 @@ class GroupStreamingReplay:
                 salt_partitions=self.salt_partitions,
                 wire=True,
                 views=self.views,
+                dlq=self.dlq_dir,
             )
             if n_rows:
                 for s in self.message_sinks:
@@ -241,6 +246,7 @@ class GroupStreamingReplay:
             "epoch": epoch_id,
             "rows": n_rows,
             "events_applied": stats.events,
+            "quarantined": sum(m.get("quarantined", 0) for m in stats.merges),
             "ranges": stats.ranges,
             "ddls": stats.ddls,
             "fence_ts": str(fence) if fence is not None else None,

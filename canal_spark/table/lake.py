@@ -1129,6 +1129,48 @@ class LakeTable:
                 "files_removed": removed, "rebucketed_to": rebucketed,
                 "migration_remaining": remaining}
 
+    def describe(self) -> dict:
+        """Operational table stats, METADATA-ONLY (no data scan, no Spark
+        job) — the admin/metrics surface the reference exposes per instance
+        (server/.../CanalServerWithEmbedded get metrics + the admin UI's
+        instance overview). Row counts come from the manifest's per-file
+        footer stats, so at 10^10 rows this still answers in milliseconds.
+        ``delta_rows`` over-counts live rows (delta winners supersede base
+        rows at read time) — it is the UNFOLDED physical count, the number
+        compaction scheduling actually needs."""
+        snap = self.snap
+        fstats = snap.get("file_stats", {})
+
+        def rows_of(names):
+            return sum(fstats[f][2] for f in names
+                       if f in fstats and len(fstats[f]) > 2)
+
+        base_files = {b: fl for b, fl in snap["files"].items() if fl}
+        deltas = {b: fl for b, fl in snap.get("deltas", {}).items() if fl}
+        per_bucket = {b: len(fl) for b, fl in base_files.items()}
+        return {
+            "version": snap["version"],
+            "key_col": snap["key_col"],
+            "n_buckets": snap["n_buckets"],
+            "migration": (
+                {"target": snap["next_n_buckets"],
+                 "migrated": len(snap.get("migrated", [])),
+                 "remaining": snap["n_buckets"] - len(snap.get("migrated", []))}
+                if snap.get("next_n_buckets") else None),
+            "columns": [c["name"] for c in snap["columns"]],
+            "base_files": sum(per_bucket.values()),
+            "delta_files": sum(len(fl) for fl in deltas.values()),
+            "delta_buckets": len(deltas),
+            "max_files_per_bucket": max(per_bucket.values(), default=0),
+            "base_rows": rows_of(f for fl in base_files.values() for f in fl),
+            "delta_rows": rows_of(f for fl in deltas.values() for f in fl),
+            "watermark_lsn": snap.get("watermark_lsn", ""),
+            "truncate_lsn": snap.get("truncate_lsn", ""),
+            "applied_batches": len(snap.get("applied_batches", [])),
+            "changelog_entries": len(snap.get("changelog", {})),
+            "merge_mode": snap.get("merge_mode", "cow"),
+        }
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete data files referenced only by expired snapshots."""
         versions = sorted(
