@@ -189,6 +189,15 @@ def wire_net_changes(events: DataFrame, key: str,
         F.lit(None).cast("string").alias("_payload"),
     )
     ch = upserts.unionByName(deletes)
+    if quarantine:
+        # unroutable events must NOT collapse together: groupBy treats all
+        # NULL keys as one group, so N distinct no-pk events would shrink
+        # to a single quarantined winner and lose the evidence (found by
+        # the DLQ fuzz property). Give each a synthetic per-event group key
+        # (LSNs are unique); restored to NULL on output below. "\x00" can
+        # never prefix a real key — the wire ships JSON text.
+        ch = ch.withColumn(key, F.coalesce(
+            F.col(key), F.concat(F.lit("\x00"), F.col("lsn"))))
 
     packed = F.concat_ws("\x01", F.col("lsn"), F.col("op"), F.col("_payload"))
     if salt_partitions:
@@ -237,8 +246,11 @@ def wire_net_changes(events: DataFrame, key: str,
         img = F.from_json(F.get(parts, 2), decode_schema, _JSON_OPTS)
     types = {f.name: f.dataType for f in image_schema.fields}
     data_cols = [f.name for f in image_schema.fields if f.name != key]
+    out_key = (F.when(F.col(key).startswith("\x00"),
+                      F.lit(None).cast("string")).otherwise(F.col(key))
+               if quarantine else F.col(key))
     sel = [
-        F.col(key),
+        out_key.alias(key),
         *[img.getItem(c).cast(types[c]).alias(c) for c in data_cols],
         parts.getItem(1).alias("op"),
         parts.getItem(0).alias("lsn"),
@@ -247,7 +259,7 @@ def wire_net_changes(events: DataFrame, key: str,
         raw = F.get(parts, 2)
         is_upsert = parts.getItem(1) == "U"
         reason = (
-            F.when(F.col(key).isNull(), F.lit("no_pk"))
+            F.when(out_key.isNull(), F.lit("no_pk"))
             .when(is_upsert & img.getItem(bad_col).isNotNull(),
                   F.lit("corrupt_payload"))
             .when(is_upsert & raw.isNull(), F.lit("missing_payload")))

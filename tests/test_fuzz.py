@@ -483,6 +483,100 @@ def test_fuzz_replay_with_spec_migration(spark, seed, n_events, n_base, ins,
         shutil.rmtree(work, ignore_errors=True)
 
 
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(20, 500),
+    n_base=st.integers(5, 100),
+    events_per_file=st.integers(7, 200),
+    poisons=st.lists(st.sampled_from(["corrupt", "no_pk", "missing"]),
+                     min_size=1, max_size=5),
+    mid_log=st.booleans(),
+)
+def test_fuzz_dlq_quarantines_exactly_the_poison(spark, seed, n_events,
+                                                 n_base, events_per_file,
+                                                 poisons, mid_log):
+    """DLQ under fuzz: inject 1-5 poison winners (unique keys, max LSN —
+    guaranteed collapse winners) into a random wire log, as a mid-log OR
+    trailing segment; the wire replay with dlq set must quarantine EXACTLY
+    the poison (count and reasons), and the final state must equal the
+    clean log's sequential oracle — poison never corrupts, never drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.operators.decode import convert_log_to_wire
+
+    spec = CdcLogSpec(n_events=n_events, seed=seed,
+                      events_per_file=events_per_file, other_table_frac=0.05)
+    work = os.path.join(WORK, f"dlqfuzz_{next(_RUN)}_{seed}_{n_events}")
+    shutil.rmtree(work, ignore_errors=True)
+    try:
+        base = generate_base_table(n_base, seed=seed)
+        typed_dir = os.path.join(work, "typed")
+        generate_cdc_log(typed_dir, spec, base)
+        wire_dir = os.path.join(work, "wire")
+        convert_log_to_wire(spark, typed_dir, wire_dir)
+
+        rows = []
+        for i, kind in enumerate(poisons):
+            k = f"zz-poison-{i:02d}"
+            if kind == "corrupt":
+                rows.append(("UPDATE", None, f'{{"doc_id":"{k}","tokens":[7,',
+                             None, k))
+            elif kind == "no_pk":
+                rows.append(("INSERT", None, '{"n_tok":5}', None, None))
+            else:
+                rows.append(("UPDATE", f'{{"doc_id":"{k}"}}', None, k, k))
+        n = len(rows)
+        import datetime
+        seg = pa.table({
+            "entry_type": pa.array(["ROWDATA"] * n),
+            "event_type": pa.array([r[0] for r in rows]),
+            "gtid_seq": pa.array([10 ** 9 + i for i in range(n)], pa.int64()),
+            "binlog_file": pa.array(["mysql-bin.555555"] * n),
+            "binlog_pos": pa.array([4 + i for i in range(n)], pa.int64()),
+            "server_id": pa.array([1] * n, pa.int64()),
+            "execute_ts": pa.array([datetime.datetime(2026, 1, 1)] * n,
+                                   pa.timestamp("us")),
+            "schema_name": pa.array(["train"] * n),
+            "table_name": pa.array(["tokseq"] * n),
+            "txn_id": pa.array(["txp"] * n),
+            "is_ddl": pa.array([False] * n, pa.bool_()),
+            "sql": pa.array([None] * n, pa.string()),
+            "before": pa.array([r[1] for r in rows], pa.string()),
+            "after": pa.array([r[2] for r in rows], pa.string()),
+            "pk_before": pa.array([r[3] for r in rows], pa.string()),
+            "pk_after": pa.array([r[4] for r in rows], pa.string()),
+        })
+        # mid-log: sorts between 000001 and any later segment; trailing:
+        # sorts after everything — the collapse is order-free for unique
+        # poison keys, so both placements must behave identically
+        name = ("mysql-bin.000001a.parquet" if mid_log
+                else "mysql-bin.999999.parquet")
+        pq.write_table(seg, os.path.join(wire_dir, name))
+
+        table = LakeTable.create(
+            spark, os.path.join(work, "tokseq"), TOKSEQ_SCHEMA, n_buckets=4,
+            df=spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA))
+        dlq = os.path.join(work, "dlq")
+        replay(spark, wire_dir, table, wire=True, dlq=dlq)
+        table = table.refresh()
+
+        got = spark.read.parquet(dlq).collect()
+        assert len(got) == n
+        want = sorted("corrupt_payload" if k == "corrupt"
+                      else "no_pk" if k == "no_pk" else "missing_payload"
+                      for k in poisons)
+        assert sorted(r["reason"] for r in got) == want
+
+        expected, cols = oracle_final_state(base, typed_dir)
+        assert_state_equal(rows_to_state(table.read().collect(), cols),
+                           expected, cols)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _MIRROR_DDLS = [
     "ALTER TABLE train.tokseq ADD COLUMN q1 STRING",
     "ALTER TABLE train.tokseq ADD COLUMN s1 INT, ADD COLUMN s2 STRING",
