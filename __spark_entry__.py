@@ -1272,6 +1272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold_bp=7000)
     q["dedup_simhash"] = lambda s, d: dedup.simhash_near_pairs(
         _table(s, d, "documents"), max_hamming=3)
+    q["dedup_clusters"] = lambda s, d: dedup.duplicate_clusters(
+        _table(s, d, "documents"), n=3, num_hashes=64, bands=8,
+        threshold_bp=7000)
 
     # --- similarity search (embeddings table)
     def _q_vecs(s, d):
@@ -1557,6 +1560,8 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = dedup.minhash_lsh_pairs_sql(
         n=3, num_hashes=64, bands=8, threshold_bp=7000)
     o["dedup_simhash"] = dedup.simhash_near_pairs_sql(n=3, max_hamming=3)
+    o["dedup_clusters"] = dedup.duplicate_clusters_sql(
+        n=3, num_hashes=64, bands=8, threshold_bp=7000)
 
     _COS = ("list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * "
             "sqrt(list_dot_product(nv, nv)))")

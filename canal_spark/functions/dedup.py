@@ -491,3 +491,96 @@ def simhash_near_pairs_sql(n: int = 3, max_hamming: int = 3,
             FROM cand
         ) WHERE hamming <= {max_hamming}
     """
+
+
+def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 64, bands: int = 8,
+                       threshold_bp: int = 7000,
+                       max_iter: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs — the keep-one-per-cluster shape production dedup uses
+    (pairwise victim-picking deletes both b→a and c→b, clustering keeps
+    exactly one representative per transitive group).
+
+    Algorithm: min-label propagation to a fixpoint. Each iteration is one
+    join + one aggregate — label(v) ← min(label(v), min label among v's
+    neighbours) — and converges in O(component diameter) iterations. LSH
+    duplicate components are near-cliques (every member shares band
+    buckets with most others), so the diameter is tiny; the synthetic
+    corpus and real near-dup graphs converge in 2-4 rounds. Per round the
+    driver runs ONE metadata-sized count action for the convergence check;
+    everything data-sized stays in joins/aggregates (the MapReduce
+    connected-components pattern; for adversarially long chain graphs the
+    large-star/small-star variant halves rounds, not needed for the
+    near-clique shape LSH emits).
+
+    Returns (doc_id, cluster_id, cluster_size) for every doc in a
+    duplicate cluster (size ≥ 2); cluster_id = the cluster's min doc_id.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands,
+                              threshold_bp)
+    edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    # persist the (tiny, pairs-sized) edge set ONCE: every propagation
+    # round joins it, and without the cache each round would recompute the
+    # whole shingle→signature→band-join pipeline
+    edges = edges.unionAll(edges.select(F.col("d").alias("s"),
+                                        F.col("s").alias("d"))).persist()
+    labels = (edges.select(F.col("s").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")).persist())
+    prev = None
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["d"] == labels["id"])
+               .groupBy("s").agg(F.min("lbl").alias("nlbl")))
+        new = (labels.join(nbr, labels["id"] == nbr["s"], "left")
+               .select(labels["id"],
+                       F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+               .persist())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = labels, new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    out = (labels.join(sizes, "lbl")
+           .select(F.col("id").alias(id_col),
+                   F.col("lbl").alias("cluster_id"),
+                   F.col("cluster_size")))
+    # the result is pairs-sized; materialization by the caller re-reads the
+    # cached labels — leave edges/labels cached until the session drops
+    # them is a leak, so copy out eagerly is the caller's job: we instead
+    # localCheckpoint to cut lineage and release the iteration caches
+    out = out.localCheckpoint(eager=True)
+    for c in (edges, prev, labels):
+        if c is not None:
+            c.unpersist()
+    return out
+
+
+def duplicate_clusters_sql(n: int = 3, num_hashes: int = 64, bands: int = 8,
+                           threshold_bp: int = 7000,
+                           table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB twin: same LSH pairs, transitive closure via a recursive CTE
+    (UNION dedups, so the closure terminates), min reachable id = the
+    cluster id. Fine at oracle scale; the Spark side is the scale path."""
+    pairs = minhash_lsh_pairs_sql(n, num_hashes, bands, threshold_bp,
+                                  table=table, id_col=id_col)
+    return f"""
+        WITH RECURSIVE p AS ({pairs}),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+            SELECT s, s FROM e
+            UNION
+            SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+        ),
+        lbl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM lbl GROUP BY cluster_id)
+        SELECT lbl.id AS {id_col}, lbl.cluster_id, sz.cluster_size
+        FROM lbl JOIN sz USING (cluster_id)
+    """

@@ -273,3 +273,20 @@ class TestRelationalOracle:
         assert len(got) == len(exp)
         for c in got.columns:
             assert got[c].astype(str).equals(exp[c].astype(str)), c
+
+
+def test_duplicate_clusters_transitive(spark):
+    from canal_spark.functions.dedup import duplicate_clusters
+
+    text1 = "the quick brown fox jumps over the lazy dog again and again"
+    text2 = "completely different content about spark connected components"
+    rows = [("a", text1), ("b", text1), ("c", text1),
+            ("d", text2), ("e", text2),
+            ("f", "a unique document with nothing shared at all here")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in duplicate_clusters(df).collect()}
+    # two clusters, min-id representative, transitive membership; the
+    # unique doc is absent (clusters are size >= 2 by construction)
+    assert got == {"a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+                   "d": ("d", 2), "e": ("d", 2)}
