@@ -1052,6 +1052,108 @@ def _near_dedup_sweep_oracle_sql() -> str:
     """
 
 
+def _run_cluster_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup sweep off the maintained band index
+    (canal_spark/curate.py cluster_dedup_sweep): candidates from index
+    bucket collisions, verification over candidates only, CONNECTED
+    COMPONENTS over the verified pairs → exactly one survivor (min key)
+    per duplicate cluster, deletes applied through the net-change
+    contract. Returns the SWEPT main state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.curate import cluster_dedup_sweep
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.dedup import banded_signatures
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import MinhashBandIndexView
+
+    work = os.path.join(_WORK, "q_cluster_sweep")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=53), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    bb = banded_signatures(
+        base_df.select("doc_id", F.array_join("tokens", " ").alias("_txt")),
+        id_col="doc_id", text_col="_txt", bands=_N_BANDS,
+    ).select(F.col("id").alias("doc_id"), "band", "bucket")
+    seed = (
+        base_df.select("doc_id", F.explode(
+            F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"))
+        .join(bb, on=["doc_id", "band"], how="left")
+        .select(F.concat_ws("#", "doc_id", "band").alias("band_key"),
+                "doc_id", F.col("band").cast("int"), F.col("bucket").cast("long"))
+    )
+    vt = LakeTable.create(spark, os.path.join(work, "band_idx"),
+                          BAND_INDEX_SCHEMA, key_col="band_key", n_buckets=8,
+                          df=seed)
+    view = MinhashBandIndexView(vt, bands=_N_BANDS)
+    replay(spark, log_dir, table.refresh(), views=[view])
+    cluster_dedup_sweep(table.refresh(), view, threshold_bp=_NEAR_SWEEP_BP,
+                        views=[view], batch_id="cluster-sweep")
+    return _canonical_state(table.refresh().read())
+
+
+def _cluster_dedup_sweep_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_cluster_dedup_sweep``: sequential python fold →
+    the md5-portable LSH pair SQL → recursive-CTE connected components →
+    every non-min member of a component is a victim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.dedup import minhash_lsh_pairs_sql
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_cluster_sweep")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=53), base=base)
+    state, cols = oracle_final_state(base, log_dir)
+    p_state = _write_expected_state(
+        os.path.join(work, "expected.parquet"), state, cols)
+    rows = sorted(state.values(), key=lambda r: r["doc_id"])
+    p_txt = os.path.join(work, "corpus_txt.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "text": pa.array(
+            [" ".join(map(str, r["tokens"])) if r.get("tokens") else None
+             for r in rows], pa.string()),
+    }), p_txt)
+    pairs = minhash_lsh_pairs_sql(n=3, num_hashes=64, bands=_N_BANDS,
+                                  threshold_bp=_NEAR_SWEEP_BP, table="corpus")
+    return f"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text FROM read_parquet('{p_txt}')
+            WHERE text IS NOT NULL
+        ),
+        p AS ({pairs}),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+            SELECT s, s FROM e
+            UNION
+            SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
+        ),
+        victims AS (
+            SELECT id FROM (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+            WHERE id <> lbl
+        )
+        SELECT s.* FROM read_parquet('{p_state}') s
+        WHERE s.doc_id NOT IN (SELECT id FROM victims)
+    """
+
+
 def _run_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lake table as a CDC *source* (Canal client get/ack + MQ feed
     analog, server/.../CanalServerWithEmbedded.java:331-446): replay into a
@@ -1348,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_pack_index"] = _run_pack_index
     q["cdc_dedup_sweep"] = _run_dedup_sweep
     q["cdc_near_dedup_sweep"] = _run_near_dedup_sweep
+    q["cdc_cluster_dedup_sweep"] = _run_cluster_dedup_sweep
     q["cdc_changelog_feed"] = _run_changelog_feed
     return q
 
@@ -1621,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_pack_index"] = _pack_index_oracle_sql()
         o["cdc_dedup_sweep"] = _dedup_sweep_oracle_sql()
         o["cdc_near_dedup_sweep"] = _near_dedup_sweep_oracle_sql()
+        o["cdc_cluster_dedup_sweep"] = _cluster_dedup_sweep_oracle_sql()
         o["cdc_changelog_feed"] = _changelog_feed_oracle_sql()
     except Exception:
         pass

@@ -136,3 +136,52 @@ def near_dedup_sweep(table: LakeTable, band_view, threshold_bp: int = 9000,
     )
     victims = verified.select(F.col("id_b").alias(key)).distinct()
     return _delete_keys(table, victims, views, batch_id)
+
+
+def cluster_dedup_sweep(table: LakeTable, band_view, threshold_bp: int = 9000,
+                        views=(), batch_id: str | None = None) -> dict:
+    """Transitive near-dup sweep: like :func:`near_dedup_sweep` but victims
+    come from CONNECTED COMPONENTS over the verified pairs — exactly one
+    survivor (the min key) per duplicate cluster. Pairwise victim-picking
+    can leave several mutual near-dups alive (pairs (a,c),(b,c) delete only
+    c); the component fold closes that hole, which is the shape production
+    corpus dedup actually wants. Candidates still come from the
+    CDC-maintained band index (O(index)), verification from signatures
+    recomputed over candidates only (O(candidates)), and the component fold
+    runs on the verified PAIRS (tiny) — never the corpus."""
+    from canal_spark.functions.dedup import (banded_signatures,
+                                             connected_component_labels)
+
+    key = table.key_col
+    cand = band_view.candidate_pairs()
+    ids = (cand.select(F.col("id_a").alias(key))
+           .union(cand.select(F.col("id_b").alias(key))).distinct())
+    docs = (
+        table.read()
+        .join(ids, key, "leftsemi")
+        .select(F.col(key),
+                F.array_join(F.col(band_view.tokens_col), " ").alias("_txt"))
+    )
+    sigs = (
+        banded_signatures(docs, id_col=key, text_col="_txt", n=band_view.n,
+                          num_hashes=band_view.num_hashes,
+                          bands=band_view.bands)
+        .select("id", "sig").dropDuplicates(["id"])
+    )
+    match_bp = F.floor(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq)) * 10000 / band_view.num_hashes
+    ).cast("long")
+    verified = (
+        cand
+        .join(sigs.select(F.col("id").alias("id_a"),
+                          F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
+        .where(match_bp >= threshold_bp)
+        .select("id_a", "id_b")
+    )
+    labels = connected_component_labels(verified)
+    victims = (labels.where(F.col("id") != F.col("lbl"))
+               .select(F.col("id").alias(key)))
+    return _delete_keys(table, victims, views, batch_id)

@@ -520,10 +520,26 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
     """
     pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands,
                               threshold_bp)
-    edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    labels = connected_component_labels(pairs, max_iter=max_iter)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select(F.col("id").alias(id_col),
+                    F.col("lbl").alias("cluster_id"),
+                    F.col("cluster_size")))
+
+
+def connected_component_labels(pairs: DataFrame, id_a: str = "id_a",
+                               id_b: str = "id_b",
+                               max_iter: int = 20) -> DataFrame:
+    """(id, lbl) for every id in ``pairs``; lbl = the component's min id.
+    Min-label propagation to a fixpoint — one join + one aggregate per
+    round, one metadata-sized count for the convergence check. The
+    returned frame is localCheckpoint'ed (pairs-sized), cutting the loop
+    lineage and releasing the iteration caches."""
+    edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     # persist the (tiny, pairs-sized) edge set ONCE: every propagation
     # round joins it, and without the cache each round would recompute the
-    # whole shingle→signature→band-join pipeline
+    # caller's whole candidate-pair pipeline
     edges = edges.unionAll(edges.select(F.col("d").alias("s"),
                                         F.col("s").alias("d"))).persist()
     labels = (edges.select(F.col("s").alias("id")).distinct()
@@ -544,16 +560,7 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
         prev, labels = labels, new
         if changed == 0:
             break
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    out = (labels.join(sizes, "lbl")
-           .select(F.col("id").alias(id_col),
-                   F.col("lbl").alias("cluster_id"),
-                   F.col("cluster_size")))
-    # the result is pairs-sized; materialization by the caller re-reads the
-    # cached labels — leave edges/labels cached until the session drops
-    # them is a leak, so copy out eagerly is the caller's job: we instead
-    # localCheckpoint to cut lineage and release the iteration caches
-    out = out.localCheckpoint(eager=True)
+    out = labels.localCheckpoint(eager=True)
     for c in (edges, prev, labels):
         if c is not None:
             c.unpersist()

@@ -226,3 +226,80 @@ def test_near_dedup_sweep(spark, tmp_work):
     near_dedup_sweep(table.refresh(), view, threshold_bp=8000,
                      views=[view], batch_id="ns2")
     assert {r["doc_id"] for r in table.refresh().read().collect()} == got_ids
+
+
+def test_cluster_dedup_sweep_one_survivor_per_component(spark, tmp_work):
+    """Transitive sweep: connected components over the verified pairs —
+    exactly one survivor (min key) per cluster, vs an independent DuckDB
+    recursive-closure twin. A triple of mutual near-dups (a~b, a~c, b~c)
+    must shrink to one row, where pairwise victim-picking could keep two."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from canal_spark.curate import cluster_dedup_sweep
+    from canal_spark.functions.dedup import banded_signatures, minhash_lsh_pairs_sql
+    from canal_spark.views import MinhashBandIndexView
+
+    base = generate_base_table(120, seed=91)
+    rows = base.to_pylist()
+    # clusters of size 3: two exact copies of every 8th doc
+    for i, r in enumerate(rows[::8]):
+        rows.append({**r, "doc_id": f"cpy{i:06d}a"})
+        rows.append({**r, "doc_id": f"cpy{i:06d}b"})
+    base = pa.Table.from_pylist(rows, schema=base.schema).sort_by("doc_id")
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, CdcLogSpec(n_events=900, seed=91,
+                                         events_per_file=300), base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    bb = banded_signatures(
+        bdf.select("doc_id", F.array_join("tokens", " ").alias("_txt")),
+        id_col="doc_id", text_col="_txt", bands=N_BANDS,
+    ).select(F.col("id").alias("doc_id"), "band", "bucket")
+    seed_idx = (
+        bdf.select("doc_id", F.explode(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"))
+        .join(bb, on=["doc_id", "band"], how="left")
+        .select(F.concat_ws("#", "doc_id", "band").alias("band_key"),
+                "doc_id", F.col("band").cast("int"), F.col("bucket").cast("long"))
+    )
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "band_idx"),
+                          BAND_INDEX_SCHEMA, key_col="band_key", n_buckets=8,
+                          df=seed_idx)
+    view = MinhashBandIndexView(vt, bands=N_BANDS)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+
+    cluster_dedup_sweep(table.refresh(), view, threshold_bp=8000,
+                        views=[view], batch_id="cs1")
+
+    state, _cols = oracle_final_state(base, log_dir)
+    p_txt = os.path.join(tmp_work, "corpus.parquet")
+    srt = sorted(state.values(), key=lambda r: r["doc_id"])
+    pq.write_table(pa.table({
+        "doc_id": [r["doc_id"] for r in srt],
+        "text": [" ".join(map(str, r["tokens"])) if r.get("tokens") else None
+                 for r in srt],
+    }), p_txt)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW corpus AS SELECT * FROM read_parquet('{p_txt}') "
+                "WHERE text IS NOT NULL")
+    pairs_sql = minhash_lsh_pairs_sql(n=3, num_hashes=64, bands=N_BANDS,
+                                      threshold_bp=8000, table="corpus")
+    victims = {r[0] for r in con.execute(f"""
+        WITH RECURSIVE p AS ({pairs_sql}),
+        e AS (SELECT id_a AS s, id_b AS d FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (SELECT s, s FROM e
+                         UNION SELECT e.s, reach.r FROM e
+                               JOIN reach ON e.d = reach.id)
+        SELECT id FROM (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+        WHERE id <> lbl""").fetchall()}
+    assert victims, "fixture produced no duplicate clusters"
+    got_ids = {r["doc_id"] for r in table.refresh().read().collect()}
+    assert got_ids == set(state) - victims
+    # re-sweep is a ledgered no-op
+    v = table.refresh().version
+    cluster_dedup_sweep(table.refresh(), view, threshold_bp=8000,
+                        views=[view], batch_id="cs1")
+    assert table.refresh().version == v
