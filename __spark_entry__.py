@@ -1391,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_centroids=16, n_probe=4)
     q["emb_near_pairs"] = lambda s, d: similarity.embedding_near_pairs(
         _table(s, d, "embeddings"), threshold_e3=350, use_lsh=True)
+    q["emb_clusters"] = lambda s, d: similarity.embedding_clusters(
+        _table(s, d, "embeddings"), threshold_e3=350, use_lsh=True)
 
     # --- multimodal plumbing (documents table as fake media carrier)
     q["media_meta"] = lambda s, d: multimodal.media_meta_plan(_table(s, d, "documents"))
@@ -1682,6 +1684,8 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rank <= 5
     """
     o["emb_near_pairs"] = similarity.embedding_near_pairs_sql(
+        threshold_e3=350, use_lsh=True, n_planes=8)
+    o["emb_clusters"] = similarity.embedding_clusters_sql(
         threshold_e3=350, use_lsh=True, n_planes=8)
     o["ann_lsh_topk"] = similarity.lsh_bucketed_topk_sql(
         k=5, n_planes=10, n_tables=4, query_pred="vec_id < 8")

@@ -395,3 +395,48 @@ def ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
               FROM scored)
         WHERE rank <= {k}
     """
+
+
+def embedding_clusters(emb: DataFrame, threshold_e3: int = 350,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       use_lsh: bool = True, n_planes: int = 8) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: connected components over the
+    cosine near-pairs (same min-label kernel as the text-side
+    dedup.duplicate_clusters) — the keep-one-per-cluster shape for
+    semantic dedup of an embedding-indexed corpus. Pair discovery stays
+    LSH-bucketed (linear shuffle); the component fold runs on the
+    pairs-sized edge set only."""
+    from canal_spark.functions.dedup import connected_component_labels
+
+    pairs = embedding_near_pairs(emb, threshold_e3, id_col, vec_col,
+                                 use_lsh, n_planes)
+    labels = connected_component_labels(pairs)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select(F.col("id").alias(id_col),
+                    F.col("lbl").alias("cluster_id"),
+                    F.col("cluster_size")))
+
+
+def embedding_clusters_sql(threshold_e3: int = 350, use_lsh: bool = True,
+                           n_planes: int = 8,
+                           table: str = "embeddings") -> str:
+    pairs = embedding_near_pairs_sql(threshold_e3, use_lsh, n_planes, table)
+    # CTE names prefixed cc_: the inner pairs SQL has its own WITH e/p and
+    # DuckDB resolves nested same-named CTEs to the OUTER one (binder error)
+    return f"""
+        WITH RECURSIVE cc_p AS ({pairs}),
+        cc_e AS (SELECT id_a AS s, id_b AS d FROM cc_p
+                 UNION SELECT id_b, id_a FROM cc_p),
+        cc_reach(id, r) AS (
+            SELECT s, s FROM cc_e
+            UNION
+            SELECT cc_e.s, cc_reach.r FROM cc_e
+            JOIN cc_reach ON cc_e.d = cc_reach.id
+        ),
+        cc_lbl AS (SELECT id, MIN(r) AS cluster_id FROM cc_reach GROUP BY id),
+        cc_sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM cc_lbl GROUP BY cluster_id)
+        SELECT cc_lbl.id AS vec_id, cc_lbl.cluster_id, cc_sz.cluster_size
+        FROM cc_lbl JOIN cc_sz USING (cluster_id)
+    """
