@@ -149,6 +149,7 @@ def mirror_apply(ev: DataFrame, db: LakeDatabase,
                  salt_partitions: int | None = None,
                  merge_mode: str = "cow",
                  max_concurrency: int = 4,
+                 dlq: str | None = None,
                  ) -> dict[str, ReplayStats]:
     """Fan one prepared event batch into one LakeTable per source table.
     Returns {catalog name: ReplayStats}. ``ev`` is envelope-filtered
@@ -235,7 +236,10 @@ def mirror_apply(ev: DataFrame, db: LakeDatabase,
         return name, apply_events(
             ev, table,
             batch_id=None if batch_id is None else f"{batch_id}/{name}",
-            salt_partitions=salt_partitions, wire=wire)
+            salt_partitions=salt_partitions, wire=wire,
+            # per-sink DLQ subdirectory: a poison winner quarantines in the
+            # sink it was routed to, keeping the evidence attributable
+            dlq=None if dlq is None else os.path.join(dlq, name))
 
     if max_concurrency > 1 and len(items) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -256,6 +260,7 @@ def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
                   merge_mode: str = "cow",
                   files: list[str] | None = None,
                   max_concurrency: int = 4,
+                  dlq: str | None = None,
                   ) -> dict[str, ReplayStats]:
     """Batch mirror: replay one whole log into the LakeDatabase (see
     mirror_apply for the per-batch semantics)."""
@@ -265,4 +270,4 @@ def mirror_replay(spark: SparkSession, log_dir: str, db: LakeDatabase,
                         n_buckets=n_buckets, schema_factory=schema_factory,
                         wire=wire, salt_partitions=salt_partitions,
                         merge_mode=merge_mode,
-                        max_concurrency=max_concurrency)
+                        max_concurrency=max_concurrency, dlq=dlq)

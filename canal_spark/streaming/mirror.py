@@ -74,7 +74,8 @@ class MirrorStreamingReplay(StreamingReplay):
             schema_factory=self.schema_factory, wire=True,
             salt_partitions=self.salt_partitions,
             merge_mode=self.merge_mode,
-            max_concurrency=self.max_concurrency)
+            max_concurrency=self.max_concurrency,
+            dlq=self.dlq_dir)
         agg = ReplayStats()
         for s in per_sink.values():
             agg.ranges += s.ranges
