@@ -678,7 +678,7 @@ class AggRollupView:
     def apply(self, net_changes: DataFrame, batch_id: str | None = None,
               max_lsn: str | None = None) -> dict:
         from canal_spark.lsn import ZERO_LSN
-        from canal_spark.table.lake import _ledger_add, bucket_expr
+        from canal_spark.table.lake import _ledger_add
 
         if batch_id is not None and self.table.is_applied(batch_id):
             return {"skipped": True}
@@ -702,8 +702,12 @@ class AggRollupView:
             *[(F.col(c) if c in have else F.lit(None)).cast("long")
               .alias(f"_n_{c}") for c in sums])
         # one metadata action: the batch's main-table buckets + max LSN
-        # (the merge planner's bucket-stats idiom)
-        brows = (chg.groupBy(bucket_expr(key, main.n_buckets).alias("_b"))
+        # (the merge planner's bucket-stats idiom). Routed via the PARENT
+        # snapshot's _bucket_col, not plain bucket_expr: mid spec-migration
+        # a migrated key's old image lives under its NEW-spec bucket, and
+        # the plain expression would read the wrong buckets and silently
+        # skip the retraction (code-review r03 finding #1)
+        brows = (chg.groupBy(main._bucket_col(key, psnap).alias("_b"))
                  .agg(F.max("lsn").alias("mx")).collect())
         if not brows:
             if batch_id is not None:
@@ -724,7 +728,7 @@ class AggRollupView:
         deltas = rollup_deltas(old, chg, key, sums).persist()
         try:
             vrows = (deltas.select(
-                bucket_expr("_g", self.table.n_buckets).alias("_b"))
+                self.table._bucket_col("_g").alias("_b"))
                 .distinct().collect())
             if not vrows:
                 if batch_id is not None:

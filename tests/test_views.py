@@ -698,3 +698,25 @@ def test_filtered_view_idempotent_redelivery(spark, tmp_work):
     replay(spark, log_dir, table, views=[view])  # no ledger: fence only
     assert _view_state(view) == before
     assert_state_equal(before, _expected_filtered(base, log_dir), FILT_COLS)
+
+
+def test_agg_rollup_correct_mid_spec_migration(spark, tmp_work):
+    """Regression (code-review r03 #1): the retraction's old-image read
+    must ROUTE buckets via the parent snapshot's migration state. With the
+    main table mid rebucket_start/step, a changed key whose old bucket has
+    migrated lives under its NEW-spec bucket; the plain bucket expression
+    read the wrong buckets and silently skipped the retraction, drifting
+    the rollup. Replay chunks interleaved with migration steps must land
+    exactly on the recompute."""
+    spec = CdcLogSpec(n_events=2400, seed=87, events_per_file=300,
+                      pk_change_frac=0.05)
+    base, log_dir, table, view = _rollup_setup(spark, tmp_work, spec)
+    files = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    table.refresh().rebucket_start(32)
+    for i, f in enumerate(files):
+        replay(spark, log_dir, table.refresh(), files=[f],
+               batch_id=f"c{i}", views=[view])
+        table.refresh().rebucket_step(1)   # advance between chunks
+    assert table.refresh().next_n_buckets in (None, 32)
+    assert_state_equal(_rollup_state(view), _expected_rollup(base, log_dir),
+                       ROLLUP_COLS)
