@@ -510,7 +510,8 @@ def _run_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                              key_col="doc_id", n_buckets=8, df=base_df)
     dlq = os.path.join(work, "dlq")
     replay(spark, wire_dir, table.refresh(), wire=True, dlq=dlq)
-    return spark.read.parquet(dlq).select("key", "op", "reason", "raw")
+    from canal_spark.pipeline import read_dlq
+    return read_dlq(spark, dlq).select("key", "op", "reason", "raw")
 
 
 def _dlq_oracle_sql() -> str:

@@ -147,9 +147,76 @@ def collapse_lww(changes: DataFrame, key: str = "doc_id",
     return final.select(key, *[F.col(f"_c.{c}").alias(c) for c in other])
 
 
+def _wire_dml(events: "DataFrame"):
+    """ROWDATA DML rows of a wire-shaped event frame."""
+    return events.where(F.col("entry_type") == "ROWDATA").where(
+        F.col("event_type").isin("INSERT", "UPDATE", "DELETE")
+        & ~F.coalesce(F.col("is_ddl"), F.lit(False))
+    )
+
+
+def _wire_key_of(dml: "DataFrame", key: str, img: str):
+    # each envelope pk column is probed independently: a frame carrying
+    # pk_after but not pk_before must not make k_of('before') reference
+    # a missing column (AnalysisException) — ADVICE r02
+    native = (F.col(f"pk_{img}") if f"pk_{img}" in dml.columns
+              else F.lit(None).cast("string"))
+    return F.coalesce(native, F.get_json_object(F.col(img), f"$.{key}"))
+
+
+def screen_wire_events(events: DataFrame, key: str):
+    """Event-level poison screen for the wire path: (good_events, bad).
+
+    Runs BEFORE the LWW collapse, so the semantics are the reference's
+    skip-and-log per EVENT (RdbSyncService.skipDupException, client-
+    adapter/rdb/.../RdbSyncService.java:48,284; fail-the-batch alternative:
+    CanalParseException, parse/.../AbstractEventParser.java:151): a poison
+    event is diverted with its raw payload — so a poison LATEST event no
+    longer shadows earlier good events for the same key (the good winner
+    still applies), and a poison NON-winner still leaves DLQ evidence
+    instead of silently losing the collapse. An event is poison when its
+    routing key cannot be extracted (``no_pk`` — no native pk envelope, no
+    JSON probe hit), its upsert payload is malformed JSON
+    (``corrupt_payload`` — detected via a corrupt-record-column probe, no
+    best-effort prefix salvage), or the upsert payload is missing outright
+    (``missing_payload``). DELETEs carry no payload to apply, so only
+    their routing key is screened.
+
+    Cost: one ``from_json`` structure-validation per upsert event — paid
+    ONLY on the dlq-enabled path; the happy path keeps the O(keys) fused
+    winner decode untouched.
+
+    ``bad`` columns: key (nullable), op ('U'/'D'), lsn, reason, raw.
+    """
+    from pyspark.sql import types as T
+
+    from canal_spark.operators.decode import _JSON_OPTS
+
+    dml = _wire_dml(events)
+    is_del = F.col("event_type") == "DELETE"
+    rkey = F.when(is_del, _wire_key_of(dml, key, "before")) \
+            .otherwise(_wire_key_of(dml, key, "after"))
+    probe = F.from_json(
+        F.col("after"),
+        T.StructType([T.StructField("_corrupt_rec", T.StringType())]),
+        {**_JSON_OPTS, "columnNameOfCorruptRecord": "_corrupt_rec"})
+    reason = (
+        F.when(rkey.isNull(), F.lit("no_pk"))
+        .when(~is_del & F.col("after").isNull(), F.lit("missing_payload"))
+        .when(~is_del & probe.getItem("_corrupt_rec").isNotNull(),
+              F.lit("corrupt_payload")))
+    bad = dml.where(reason.isNotNull()).select(
+        rkey.alias("key"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("lsn"),
+        reason.alias("reason"),
+        F.col("after").alias("raw"),
+    )
+    return dml.where(reason.isNull()), bad
+
+
 def wire_net_changes(events: DataFrame, key: str,
-                     image_schema, salt_partitions: int | None = None,
-                     quarantine: bool = False) -> DataFrame:
+                     image_schema, salt_partitions: int | None = None) -> DataFrame:
     """Wire-mode fused path: LWW-collapse the RAW JSON payloads, decode
     only the per-key winners.
 
@@ -162,20 +229,14 @@ def wire_net_changes(events: DataFrame, key: str,
     probe), aggregate ``max(lsn ∥ op ∥ payload-string)``, and `from_json`
     only |keys| winners. Codec work drops from O(events) to O(keys) —
     the dominant term for update-heavy CDC at any scale.
-    """
-    from pyspark.sql import types as T
 
-    dml = events.where(F.col("entry_type") == "ROWDATA").where(
-        F.col("event_type").isin("INSERT", "UPDATE", "DELETE")
-        & ~F.coalesce(F.col("is_ddl"), F.lit(False))
-    )
+    Poison handling lives OUTSIDE this function (screen_wire_events, the
+    dlq path): events reaching the collapse are assumed routable/valid.
+    """
+    dml = _wire_dml(events)
+
     def k_of(img: str):
-        # each envelope pk column is probed independently: a frame carrying
-        # pk_after but not pk_before must not make k_of('before') reference
-        # a missing column (AnalysisException) — ADVICE r02
-        native = (F.col(f"pk_{img}") if f"pk_{img}" in dml.columns
-                  else F.lit(None).cast("string"))
-        return F.coalesce(native, F.get_json_object(F.col(img), f"$.{key}"))
+        return _wire_key_of(dml, key, img)
 
     upserts = dml.where(F.col("event_type").isin("INSERT", "UPDATE")).select(
         k_of("after").alias(key), F.lit("U").alias("op"), F.col("lsn"),
@@ -189,15 +250,6 @@ def wire_net_changes(events: DataFrame, key: str,
         F.lit(None).cast("string").alias("_payload"),
     )
     ch = upserts.unionByName(deletes)
-    if quarantine:
-        # unroutable events must NOT collapse together: groupBy treats all
-        # NULL keys as one group, so N distinct no-pk events would shrink
-        # to a single quarantined winner and lose the evidence (found by
-        # the DLQ fuzz property). Give each a synthetic per-event group key
-        # (LSNs are unique); restored to NULL on output below. "\x00" can
-        # never prefix a real key — the wire ships JSON text.
-        ch = ch.withColumn(key, F.coalesce(
-            F.col(key), F.concat(F.lit("\x00"), F.col("lsn"))))
 
     packed = F.concat_ws("\x01", F.col("lsn"), F.col("op"), F.col("_payload"))
     if salt_partitions:
@@ -222,50 +274,16 @@ def wire_net_changes(events: DataFrame, key: str,
     # ride as strings in the typed fixture too), and from_json NULLs a
     # quoted numeric under a numeric field instead of coercing — the cast
     # is the sink-type conversion the adapters do anyway (SURVEY §2 row 39)
-    decode_schema = tolerant_wire_schema(image_schema)
-    if quarantine:
-        # poison-winner detection, fused into the SAME winner decode (no
-        # extra pass): declaring a corrupt-record column makes the
-        # PERMISSIVE decode put the raw text there and NULL every field
-        # for malformed JSON (instead of best-effort salvaging a truncated
-        # payload's prefix fields). A winner is quarantined when its key
-        # could not be extracted at all (no native pk envelope, no JSON
-        # probe hit), its upsert payload is malformed, or the payload is
-        # missing outright. The reference's posture for poison rows is
-        # skip-and-log (RdbSyncService.skipDupException, client-adapter/
-        # rdb/.../RdbSyncService.java:48,284) or fail-the-batch
-        # (CanalParseException, parse/.../AbstractEventParser.java:151);
-        # the DLQ generalizes skip-and-log by PRESERVING the raw winner.
-        bad_col = "_corrupt_rec"
-        while bad_col in decode_schema.fieldNames():
-            bad_col = "_" + bad_col
-        decode_schema = decode_schema.add(bad_col, T.StringType())
-        img = F.from_json(F.get(parts, 2), decode_schema,
-                          {**_JSON_OPTS, "columnNameOfCorruptRecord": bad_col})
-    else:
-        img = F.from_json(F.get(parts, 2), decode_schema, _JSON_OPTS)
+    img = F.from_json(F.get(parts, 2), tolerant_wire_schema(image_schema),
+                      _JSON_OPTS)
     types = {f.name: f.dataType for f in image_schema.fields}
     data_cols = [f.name for f in image_schema.fields if f.name != key]
-    out_key = (F.when(F.col(key).startswith("\x00"),
-                      F.lit(None).cast("string")).otherwise(F.col(key))
-               if quarantine else F.col(key))
-    sel = [
-        out_key.alias(key),
+    return final.select(
+        key,
         *[img.getItem(c).cast(types[c]).alias(c) for c in data_cols],
         parts.getItem(1).alias("op"),
         parts.getItem(0).alias("lsn"),
-    ]
-    if quarantine:
-        raw = F.get(parts, 2)
-        is_upsert = parts.getItem(1) == "U"
-        reason = (
-            F.when(out_key.isNull(), F.lit("no_pk"))
-            .when(is_upsert & img.getItem(bad_col).isNotNull(),
-                  F.lit("corrupt_payload"))
-            .when(is_upsert & raw.isNull(), F.lit("missing_payload")))
-        sel += [reason.alias("_q_reason"),
-                F.when(reason.isNotNull(), raw).alias("_q_raw")]
-    return final.select(*sel)
+    )
 
 
 def collapse_lww_window(changes: DataFrame, key: str = "doc_id") -> DataFrame:

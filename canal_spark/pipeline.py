@@ -33,6 +33,7 @@ from canal_spark.operators.filters import envelope_filter
 from canal_spark.operators.lww import (
     changes_from_events,
     collapse_lww,
+    screen_wire_events,
     wire_net_changes,
 )
 from canal_spark.schema.tracker import SchemaTracker
@@ -84,6 +85,35 @@ def _image_fields(events: DataFrame) -> set[str] | None:
     return {f.name for f in dt.fields} if isinstance(dt, T.StructType) else None
 
 
+def _write_dlq(bad: DataFrame, dlq: str, batch_id: str | None) -> int:
+    """Land poison rows under ``dlq/<range key>/`` (mode=overwrite) and
+    return the count. The per-range directory makes redelivery of a
+    ledgered range rewrite the same rows — never append duplicates; an
+    un-ledgered manual replay gets a unique adhoc directory (duplicates
+    possible there, exactly like its at-least-once merge semantics)."""
+    import re
+    import uuid
+
+    sub = (f"batch-{re.sub(r'[^A-Za-z0-9._-]', '_', batch_id)}"
+           if batch_id else f"adhoc-{uuid.uuid4().hex[:12]}")
+    bad = bad.withColumn("batch_id", F.lit(batch_id or ""))
+    bad = bad.persist()
+    try:
+        n = bad.count()
+        if n:
+            bad.coalesce(8).write.mode("overwrite").parquet(
+                os.path.join(dlq, sub))
+        return n
+    finally:
+        bad.unpersist()
+
+
+def read_dlq(spark: SparkSession, dlq: str) -> DataFrame:
+    """Read the whole dead-letter queue (all range directories)."""
+    return (spark.read.option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet").parquet(dlq))
+
+
 def apply_dml_range(events: DataFrame, table: LakeTable,
                     lo: str | None, hi: str | None,
                     batch_id: str | None = None,
@@ -98,25 +128,37 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
     client-adapter/escore/.../ESSyncService.java:458-492) — the collapse
     shuffle is persisted once and reused for every sink.
 
-    ``dlq``: dead-letter directory. When set, poison winners (unroutable
-    key, corrupt wire payload) are preserved there with a reason instead of
-    silently dropping / upserting NULLs, and the merge sees only the good
-    rows — the reference's skip-and-log posture (RdbSyncService.java:48,284
-    skipDupException) upgraded to keep the evidence. Off by default: the
-    happy-path plan is unchanged."""
+    ``dlq``: dead-letter directory. When set, poison EVENTS (unroutable
+    key, corrupt or missing wire payload) are screened out BEFORE the LWW
+    collapse and preserved under ``dlq/`` with a reason — so a poison
+    latest event cannot shadow earlier good events for its key, a poison
+    non-winner still leaves evidence, and every downstream consumer (merge
+    AND views) sees only good rows. The reference's skip-and-log posture
+    (RdbSyncService.java:48,284 skipDupException) upgraded to keep the
+    evidence. Each range writes its own ``dlq/<batch_id>/`` directory with
+    mode=overwrite, so a redelivered ledgered range rewrites the SAME rows
+    instead of appending duplicates (epoch-keyed exactly-once, the
+    WireMessageSink idiom); read the whole queue with ``read_dlq``. Off by
+    default: the happy-path plan is unchanged."""
     rng = events
     if lo:
         rng = rng.where(F.col("lsn") > lo)
     if hi:
         rng = rng.where(F.col("lsn") <= hi)
+    n_bad = 0
+    if dlq is not None and wire:
+        # event-level screen ahead of the collapse (operators/lww.py
+        # screen_wire_events): one from_json structure probe per upsert
+        # event, paid only on this path
+        rng, bad = screen_wire_events(rng, key=table.key_col)
+        n_bad = _write_dlq(bad, dlq, batch_id)
     if wire:
         # fused wire path: LWW-collapse the raw JSON payloads against the
         # CURRENT schema (live registry), decode only the per-key winners —
         # codec work is O(keys), not O(events) (operators/lww.py)
         net = wire_net_changes(rng, key=table.key_col,
                                image_schema=table.schema(),
-                               salt_partitions=salt_partitions,
-                               quarantine=dlq is not None)
+                               salt_partitions=salt_partitions)
     else:
         data_cols = table.logical_columns()
         available = _image_fields(rng)
@@ -129,38 +171,31 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
                 changes = changes.withColumn(
                     c, F.lit(None).cast(table.schema()[c].dataType)
                 )
+        if dlq is not None:
+            # typed path: structs cannot be malformed, but a null key is
+            # still unroutable (would silently vanish in the merge).
+            # Screened BEFORE the collapse — N distinct null-key events
+            # must leave N evidence rows, not one collapsed winner
+            key = table.key_col
+            payload = [c for c in changes.columns
+                       if c not in (key, "op", "lsn")]
+            bad = changes.where(F.col(key).isNull()).select(
+                F.col(key).cast("string").alias("key"), "op", "lsn",
+                F.lit("no_pk").alias("reason"),
+                F.to_json(F.struct(*payload)).alias("raw"))
+            n_bad = _write_dlq(bad, dlq, batch_id)
+            changes = changes.where(F.col(key).isNotNull())
         net = collapse_lww(changes, key=table.key_col,
                            salt_partitions=salt_partitions)
-    n_bad = 0
-    cached = None  # unpersist the plan that was persisted (PERF.md #20)
-    if dlq is not None:
-        key = table.key_col
-        if "_q_reason" not in net.columns:
-            # typed path: structs cannot be malformed, but a null key is
-            # still unroutable (would silently vanish in the merge)
-            payload = [c for c in net.columns if c not in (key, "op", "lsn")]
-            net = net.withColumn(
-                "_q_reason", F.when(F.col(key).isNull(), F.lit("no_pk"))
-            ).withColumn(
-                "_q_raw", F.when(F.col("_q_reason").isNotNull(),
-                                 F.to_json(F.struct(*payload))))
-        cached = net.persist()
-        bad = cached.where(F.col("_q_reason").isNotNull())
-        n_bad = bad.count()
-        if n_bad:
-            (bad.select(F.col(key).cast("string").alias("key"), "op", "lsn",
-                        F.col("_q_reason").alias("reason"),
-                        F.col("_q_raw").alias("raw"),
-                        F.lit(batch_id or "").alias("batch_id"))
-             .write.mode("append").parquet(dlq))
-        net = cached.where(F.col("_q_reason").isNull()).drop("_q_reason",
-                                                             "_q_raw")
-    elif views:
-        cached = net.persist()
-        net = cached
+    if not views:
+        res = table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
+        if dlq is not None:
+            res["quarantined"] = n_bad
+        return res
+    net = net.persist()
     try:
         res = table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
-        for i, v in enumerate(views or []):
+        for i, v in enumerate(views):
             v.apply(net,
                     batch_id=None if batch_id is None else f"{batch_id}/v{i}",
                     max_lsn=hi)
@@ -168,8 +203,7 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
             res["quarantined"] = n_bad
         return res
     finally:
-        if cached is not None:
-            cached.unpersist()
+        net.unpersist()
 
 
 def apply_events(events: DataFrame, table: LakeTable,

@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 from canal_spark.fixtures import CdcLogSpec, generate_base_table, generate_cdc_log
 from canal_spark.operators.decode import convert_log_to_wire
 from canal_spark.oracle import oracle_final_state
-from canal_spark.pipeline import apply_dml_range
+from canal_spark.pipeline import apply_dml_range, read_dlq
 from canal_spark.streaming.replay import StreamingReplay
 from canal_spark.table.lake import LakeTable
 from tests.conftest import assert_state_equal, rows_to_state
@@ -68,9 +68,10 @@ def test_wire_quarantine_corrupt_and_unroutable(spark, tmp_work):
     assert set(got) == {"a", "c"}
     assert got["a"]["tokens"] == [9]                 # good update applied
     assert got["c"]["tokens"] == [4, 5, 6]           # poison did NOT null c
-    q = {r["reason"]: r for r in spark.read.parquet(dlq).collect()}
+    q = {r["reason"]: r for r in read_dlq(spark, dlq).collect()}
     assert set(q) == {"corrupt_payload", "no_pk"}
     assert q["corrupt_payload"]["key"] == "c"
+    assert q["corrupt_payload"]["op"] == "U" and q["corrupt_payload"]["lsn"] == "lsn-03"
     assert q["corrupt_payload"]["raw"].startswith('{"doc_id":"c"')
     assert q["no_pk"]["key"] is None and q["no_pk"]["batch_id"] == "b1"
 
@@ -133,7 +134,86 @@ def test_streaming_dlq_metrics_and_state(spark, tmp_work):
                          dlq_dir=dlq)
     sr.run_to_completion()
     assert sum(m.get("quarantined", 0) for m in sr.metrics.read()) == 2
-    assert spark.read.parquet(dlq).count() == 2
+    assert read_dlq(spark, dlq).count() == 2
     expected, cols = oracle_final_state(base, typed_dir)
     actual = rows_to_state(table.read().collect(), table.logical_columns())
     assert_state_equal(actual, expected, cols)
+
+
+def test_poison_winner_does_not_shadow_good_event(spark, tmp_work):
+    """Event-level screen semantics (code-review r03 #4): a corrupt LATEST
+    event must not discard the earlier GOOD update for the same key — the
+    good event wins the collapse and applies; the poison is quarantined.
+    And a poison NON-winner (corrupt event below a good one) still leaves
+    DLQ evidence instead of silently losing the collapse."""
+    df = spark.createDataFrame(BASE, SCHEMA)
+    t = LakeTable.create(spark, os.path.join(tmp_work, "t"), SCHEMA,
+                         n_buckets=4, df=df)
+    dlq = os.path.join(tmp_work, "dlq")
+    ev = _wire_events(spark, [
+        # key a: good update then corrupt later event — good one must land
+        ("UPDATE", "lsn-02",
+         '{"doc_id":"a"}', '{"doc_id":"a","tokens":[9],"n_tok":1,"source":"code"}',
+         "a", "a"),
+        ("UPDATE", "lsn-03", '{"doc_id":"a"}', '{"doc_id":"a","tokens":[1,',
+         "a", "a"),
+        # key c: corrupt event BELOW a good later update — both facts hold:
+        # good update applies AND the poison non-winner is quarantined
+        ("UPDATE", "lsn-04", '{"doc_id":"c"}', '{"doc_id":"c","tokens":[2,',
+         "c", "c"),
+        ("UPDATE", "lsn-05",
+         '{"doc_id":"c"}', '{"doc_id":"c","tokens":[8],"n_tok":1,"source":"web"}',
+         "c", "c"),
+    ])
+    res = apply_dml_range(ev, t, None, None, batch_id="b1", wire=True,
+                          dlq=dlq)
+    assert res["quarantined"] == 2
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert got["a"]["tokens"] == [9]       # good event not shadowed
+    assert got["c"]["tokens"] == [8]       # later good update applied
+    q = sorted((r["key"], r["lsn"]) for r in read_dlq(spark, dlq).collect())
+    assert q == [("a", "lsn-03"), ("c", "lsn-04")]
+
+
+def test_typed_null_key_events_each_leave_evidence(spark, tmp_work):
+    """Typed-path screen (code-review r03 #3): N distinct unroutable typed
+    events must yield N DLQ rows, not one collapsed winner."""
+    from canal_spark.pipeline import apply_dml_range as adr
+
+    df = spark.createDataFrame(BASE, SCHEMA)
+    t = LakeTable.create(spark, os.path.join(tmp_work, "t"), SCHEMA,
+                         n_buckets=4, df=df)
+    dlq = os.path.join(tmp_work, "dlq")
+    img = "struct<doc_id string, tokens array<int>, n_tok int, source string>"
+    typed = spark.createDataFrame(
+        [("ROWDATA", "INSERT", f"lsn-{i:02d}", False,
+          None, (None, [i], 1, "web"))
+         for i in range(3)],
+        f"entry_type string, event_type string, lsn string, is_ddl boolean,"
+        f" before {img}, after {img}")
+    res = adr(typed, t, None, None, batch_id="b1", dlq=dlq)
+    assert res["quarantined"] == 3
+    rows = read_dlq(spark, dlq).collect()
+    assert len(rows) == 3
+    assert all(r["reason"] == "no_pk" and r["key"] is None for r in rows)
+    assert {r["lsn"] for r in rows} == {"lsn-00", "lsn-01", "lsn-02"}
+
+
+def test_dlq_redelivery_does_not_duplicate(spark, tmp_work):
+    """Epoch-keyed DLQ directories (code-review r03 #2): redelivering a
+    ledgered range rewrites the SAME dlq rows — never appends duplicates."""
+    df = spark.createDataFrame(BASE, SCHEMA)
+    t = LakeTable.create(spark, os.path.join(tmp_work, "t"), SCHEMA,
+                         n_buckets=4, df=df)
+    dlq = os.path.join(tmp_work, "dlq")
+    ev = _wire_events(spark, [
+        ("INSERT", "lsn-04", None, '{"n_tok":5}', None, None),
+        ("UPDATE", "lsn-05",
+         '{"doc_id":"a"}', '{"doc_id":"a","tokens":[9],"n_tok":1,"source":"web"}',
+         "a", "a"),
+    ])
+    for _ in range(3):   # deliver, then redeliver the ledgered range twice
+        res = apply_dml_range(ev, t, None, None, batch_id="e1", wire=True,
+                              dlq=dlq)
+    assert read_dlq(spark, dlq).count() == 1
+    assert {r["doc_id"]: r["tokens"] for r in t.read().collect()}["a"] == [9]

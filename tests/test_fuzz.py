@@ -563,7 +563,9 @@ def test_fuzz_dlq_quarantines_exactly_the_poison(spark, seed, n_events,
         replay(spark, wire_dir, table, wire=True, dlq=dlq)
         table = table.refresh()
 
-        got = spark.read.parquet(dlq).collect()
+        from canal_spark.pipeline import read_dlq
+
+        got = read_dlq(spark, dlq).collect()
         assert len(got) == n
         want = sorted("corrupt_payload" if k == "corrupt"
                       else "no_pk" if k == "no_pk" else "missing_payload"

@@ -202,8 +202,8 @@ def main() -> int:
     _sh.rmtree(tdir, ignore_errors=True)
 
     # 12. DLQ off = the wire winner decode carries NO corrupt-record column
-    # (the quarantine probe costs nothing unless dlq is set)
-    from canal_spark.operators.lww import wire_net_changes
+    # (the screen probe is a separate pre-collapse stage, dlq path only)
+    from canal_spark.operators.lww import screen_wire_events, wire_net_changes
 
     img_schema = T.StructType([T.StructField("doc_id", T.StringType()),
                                T.StructField("n_tok", T.IntegerType())])
@@ -212,12 +212,12 @@ def main() -> int:
     out_lines.append(f"===== wire_decode_no_dlq =====\n{net_off}\n")
     checks.append(("wire_decode_no_dlq: no corrupt-record column",
                    "_corrupt_rec" not in net_off, net_off))
-    net_on = plan_of(wire_net_changes(wev.withColumn(
-        "is_ddl", F.lit(False)), key="doc_id", image_schema=img_schema,
-        quarantine=True))
-    out_lines.append(f"===== wire_decode_dlq =====\n{net_on}\n")
-    checks.append(("wire_decode_dlq: corrupt-record probe present",
-                   "_corrupt_rec" in net_on, net_on))
+    _good, bad = screen_wire_events(
+        wev.withColumn("is_ddl", F.lit(False)), key="doc_id")
+    bad_plan = plan_of(bad)
+    out_lines.append(f"===== wire_screen_dlq =====\n{bad_plan}\n")
+    checks.append(("wire_screen_dlq: corrupt-record probe present",
+                   "_corrupt_rec" in bad_plan, bad_plan))
 
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
