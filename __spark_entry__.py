@@ -1131,27 +1131,18 @@ def _cluster_dedup_sweep_oracle_sql() -> str:
             [" ".join(map(str, r["tokens"])) if r.get("tokens") else None
              for r in rows], pa.string()),
     }), p_txt)
+    from canal_spark.functions.dedup import cc_victims_sql
+
     pairs = minhash_lsh_pairs_sql(n=3, num_hashes=64, bands=_N_BANDS,
                                   threshold_bp=_NEAR_SWEEP_BP, table="corpus")
+    victims = cc_victims_sql(pairs)
     return f"""
-        WITH RECURSIVE corpus AS (
+        WITH corpus AS (
             SELECT doc_id, text FROM read_parquet('{p_txt}')
             WHERE text IS NOT NULL
-        ),
-        p AS ({pairs}),
-        e AS (SELECT id_a AS s, id_b AS d FROM p
-              UNION SELECT id_b, id_a FROM p),
-        reach(id, r) AS (
-            SELECT s, s FROM e
-            UNION
-            SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
-        ),
-        victims AS (
-            SELECT id FROM (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
-            WHERE id <> lbl
         )
         SELECT s.* FROM read_parquet('{p_state}') s
-        WHERE s.doc_id NOT IN (SELECT id FROM victims)
+        WHERE s.doc_id NOT IN ({victims})
     """
 
 

@@ -89,21 +89,13 @@ def dedup_sweep(table: LakeTable, index: LakeTable, views=(),
     return _delete_keys(table, victims, views, batch_id)
 
 
-def near_dedup_sweep(table: LakeTable, band_view, threshold_bp: int = 9000,
-                     views=(), batch_id: str | None = None) -> dict:
-    """Near-dup sweep off the CDC-maintained MinHash-LSH band index
-    (views.MinhashBandIndexView): candidate pairs come from bucket
-    collisions IN THE INDEX (one bucket-sized self-join — never corpus²),
-    are verified by exact signature agreement recomputed over ONLY the
-    candidate docs (O(candidates), not O(corpus)), and each verified pair's
-    GREATER key is deleted — a deterministic rule both engines reproduce
-    bit-for-bit (the md5-portable hash family makes the DuckDB oracle's
-    banding, estimates and victim set identical).
-
-    ``views`` should include ``band_view`` itself so the index drops the
-    victims' band rows in the same pass. The '~s' fence semantics match
-    :func:`dedup_sweep`: re-sweep is a no-op, later CDC events resurrect.
-    """
+def _verified_pairs(table: LakeTable, band_view,
+                    threshold_bp: int) -> "DataFrame":
+    """Shared verification pipeline for the index-driven near-dup sweeps:
+    candidate pairs from the CDC-maintained band index's bucket collisions
+    (O(index), never corpus²), exact-signature agreement recomputed over
+    ONLY the candidate docs (O(candidates)), thresholded in basis points.
+    Returns (id_a, id_b)."""
     from canal_spark.functions.dedup import banded_signatures
 
     key = table.key_col
@@ -126,14 +118,33 @@ def near_dedup_sweep(table: LakeTable, band_view, threshold_bp: int = 9000,
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                         lambda eq: eq)) * 10000 / band_view.num_hashes
     ).cast("long")
-    verified = (
+    return (
         cand
         .join(sigs.select(F.col("id").alias("id_a"),
                           F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"),
                           F.col("sig").alias("sig_b")), "id_b")
         .where(match_bp >= threshold_bp)
+        .select("id_a", "id_b")
     )
+
+
+def near_dedup_sweep(table: LakeTable, band_view, threshold_bp: int = 9000,
+                     views=(), batch_id: str | None = None) -> dict:
+    """Near-dup sweep off the CDC-maintained MinHash-LSH band index
+    (views.MinhashBandIndexView): verified pairs from ``_verified_pairs``,
+    and each verified pair's GREATER key is deleted — a deterministic rule
+    both engines reproduce bit-for-bit (the md5-portable hash family makes
+    the DuckDB oracle's banding, estimates and victim set identical).
+    Pairwise victim-picking can keep several mutual near-dups alive; use
+    :func:`cluster_dedup_sweep` for one-survivor-per-cluster.
+
+    ``views`` should include ``band_view`` itself so the index drops the
+    victims' band rows in the same pass. The '~s' fence semantics match
+    :func:`dedup_sweep`: re-sweep is a no-op, later CDC events resurrect.
+    """
+    key = table.key_col
+    verified = _verified_pairs(table, band_view, threshold_bp)
     victims = verified.select(F.col("id_b").alias(key)).distinct()
     return _delete_keys(table, victims, views, batch_id)
 
@@ -145,42 +156,12 @@ def cluster_dedup_sweep(table: LakeTable, band_view, threshold_bp: int = 9000,
     survivor (the min key) per duplicate cluster. Pairwise victim-picking
     can leave several mutual near-dups alive (pairs (a,c),(b,c) delete only
     c); the component fold closes that hole, which is the shape production
-    corpus dedup actually wants. Candidates still come from the
-    CDC-maintained band index (O(index)), verification from signatures
-    recomputed over candidates only (O(candidates)), and the component fold
-    runs on the verified PAIRS (tiny) — never the corpus."""
-    from canal_spark.functions.dedup import (banded_signatures,
-                                             connected_component_labels)
+    corpus dedup actually wants. The component fold runs on the verified
+    PAIRS (tiny) — never the corpus."""
+    from canal_spark.functions.dedup import connected_component_labels
 
     key = table.key_col
-    cand = band_view.candidate_pairs()
-    ids = (cand.select(F.col("id_a").alias(key))
-           .union(cand.select(F.col("id_b").alias(key))).distinct())
-    docs = (
-        table.read()
-        .join(ids, key, "leftsemi")
-        .select(F.col(key),
-                F.array_join(F.col(band_view.tokens_col), " ").alias("_txt"))
-    )
-    sigs = (
-        banded_signatures(docs, id_col=key, text_col="_txt", n=band_view.n,
-                          num_hashes=band_view.num_hashes,
-                          bands=band_view.bands)
-        .select("id", "sig").dropDuplicates(["id"])
-    )
-    match_bp = F.floor(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda eq: eq)) * 10000 / band_view.num_hashes
-    ).cast("long")
-    verified = (
-        cand
-        .join(sigs.select(F.col("id").alias("id_a"),
-                          F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs.select(F.col("id").alias("id_b"),
-                          F.col("sig").alias("sig_b")), "id_b")
-        .where(match_bp >= threshold_bp)
-        .select("id_a", "id_b")
-    )
+    verified = _verified_pairs(table, band_view, threshold_bp)
     labels = connected_component_labels(verified)
     victims = (labels.where(F.col("id") != F.col("lbl"))
                .select(F.col("id").alias(key)))

@@ -545,6 +545,7 @@ def connected_component_labels(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("s").alias("id")).distinct()
               .withColumn("lbl", F.col("id")).persist())
     prev = None
+    changed = -1
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges["d"] == labels["id"])
                .groupBy("s").agg(F.min("lbl").alias("nlbl")))
@@ -560,6 +561,17 @@ def connected_component_labels(pairs: DataFrame, id_a: str = "id_a",
         prev, labels = labels, new
         if changed == 0:
             break
+    if changed != 0:
+        # never return silently-split components (a >max_iter-radius chain
+        # would diverge from the exact recursive-closure oracle with no
+        # signal) — fail loudly; callers raise max_iter for pathological
+        # chain graphs
+        for c in (edges, prev, labels):
+            if c is not None:
+                c.unpersist()
+        raise RuntimeError(
+            f"connected_component_labels did not converge in {max_iter} "
+            f"rounds ({changed} labels still moving); raise max_iter")
     out = labels.localCheckpoint(eager=True)
     for c in (edges, prev, labels):
         if c is not None:
@@ -567,27 +579,49 @@ def connected_component_labels(pairs: DataFrame, id_a: str = "id_a",
     return out
 
 
+def _cc_closure_cte(pairs_sql: str) -> str:
+    """Recursive-CTE transitive closure over an (id_a, id_b) pair query:
+    CTE chain ending in cc_lbl(id, cluster_id). UNION (not UNION ALL)
+    dedups the reachability set, so the recursion terminates; cc_-prefixed
+    names never collide with the pair SQL's own WITH names (DuckDB binds
+    nested same-named CTEs to the OUTER one)."""
+    return f"""cc_p AS ({pairs_sql}),
+        cc_e AS (SELECT id_a AS s, id_b AS d FROM cc_p
+                 UNION SELECT id_b, id_a FROM cc_p),
+        cc_reach(id, r) AS (
+            SELECT s, s FROM cc_e
+            UNION
+            SELECT cc_e.s, cc_reach.r FROM cc_e
+            JOIN cc_reach ON cc_e.d = cc_reach.id
+        ),
+        cc_lbl AS (SELECT id, MIN(r) AS cluster_id FROM cc_reach GROUP BY id)"""
+
+
+def connected_components_sql(pairs_sql: str, id_alias: str = "id") -> str:
+    """(id AS <id_alias>, cluster_id, cluster_size) for every id in the
+    pair query — the DuckDB twin of ``connected_component_labels``."""
+    return f"""
+        WITH RECURSIVE {_cc_closure_cte(pairs_sql)},
+        cc_sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM cc_lbl GROUP BY cluster_id)
+        SELECT cc_lbl.id AS {id_alias}, cc_lbl.cluster_id, cc_sz.cluster_size
+        FROM cc_lbl JOIN cc_sz USING (cluster_id)
+    """
+
+
+def cc_victims_sql(pairs_sql: str) -> str:
+    """Every non-min member of a component (the cluster sweep's victims)."""
+    return f"""
+        WITH RECURSIVE {_cc_closure_cte(pairs_sql)}
+        SELECT id FROM cc_lbl WHERE id <> cluster_id
+    """
+
+
 def duplicate_clusters_sql(n: int = 3, num_hashes: int = 64, bands: int = 8,
                            threshold_bp: int = 7000,
                            table: str = "documents",
                            id_col: str = "doc_id") -> str:
-    """DuckDB twin: same LSH pairs, transitive closure via a recursive CTE
-    (UNION dedups, so the closure terminates), min reachable id = the
-    cluster id. Fine at oracle scale; the Spark side is the scale path."""
+    """DuckDB twin: same LSH pairs, shared recursive-closure emitter."""
     pairs = minhash_lsh_pairs_sql(n, num_hashes, bands, threshold_bp,
                                   table=table, id_col=id_col)
-    return f"""
-        WITH RECURSIVE p AS ({pairs}),
-        e AS (SELECT id_a AS s, id_b AS d FROM p
-              UNION SELECT id_b, id_a FROM p),
-        reach(id, r) AS (
-            SELECT s, s FROM e
-            UNION
-            SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id
-        ),
-        lbl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-        sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
-               FROM lbl GROUP BY cluster_id)
-        SELECT lbl.id AS {id_col}, lbl.cluster_id, sz.cluster_size
-        FROM lbl JOIN sz USING (cluster_id)
-    """
+    return connected_components_sql(pairs, id_alias=id_col)

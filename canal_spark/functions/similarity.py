@@ -421,22 +421,8 @@ def embedding_clusters(emb: DataFrame, threshold_e3: int = 350,
 def embedding_clusters_sql(threshold_e3: int = 350, use_lsh: bool = True,
                            n_planes: int = 8,
                            table: str = "embeddings") -> str:
+    """DuckDB twin: same cosine pairs, shared recursive-closure emitter."""
+    from canal_spark.functions.dedup import connected_components_sql
+
     pairs = embedding_near_pairs_sql(threshold_e3, use_lsh, n_planes, table)
-    # CTE names prefixed cc_: the inner pairs SQL has its own WITH e/p and
-    # DuckDB resolves nested same-named CTEs to the OUTER one (binder error)
-    return f"""
-        WITH RECURSIVE cc_p AS ({pairs}),
-        cc_e AS (SELECT id_a AS s, id_b AS d FROM cc_p
-                 UNION SELECT id_b, id_a FROM cc_p),
-        cc_reach(id, r) AS (
-            SELECT s, s FROM cc_e
-            UNION
-            SELECT cc_e.s, cc_reach.r FROM cc_e
-            JOIN cc_reach ON cc_e.d = cc_reach.id
-        ),
-        cc_lbl AS (SELECT id, MIN(r) AS cluster_id FROM cc_reach GROUP BY id),
-        cc_sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
-                  FROM cc_lbl GROUP BY cluster_id)
-        SELECT cc_lbl.id AS vec_id, cc_lbl.cluster_id, cc_sz.cluster_size
-        FROM cc_lbl JOIN cc_sz USING (cluster_id)
-    """
+    return connected_components_sql(pairs, id_alias="vec_id")

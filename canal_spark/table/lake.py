@@ -999,11 +999,13 @@ class LakeTable:
             raise ValueError("spec migration already in progress")
         if new_n_buckets == self.n_buckets:
             return
-        if new_n_buckets % self.n_buckets:
+        # strict widening: N | M alone also admits 0 and negative multiples
+        # (python: -4 % 4 == 0), which would commit nonsense routing specs
+        if new_n_buckets < self.n_buckets or new_n_buckets % self.n_buckets:
             raise ValueError(
-                f"incremental widening needs N | M "
+                f"incremental widening needs M > N with N | M "
                 f"(got {self.n_buckets} -> {new_n_buckets}); "
-                f"use rebucket() for an arbitrary respec")
+                f"use rebucket() for an arbitrary respec incl. downscale")
         self._commit_meta(next_n_buckets=new_n_buckets, migrated=[])
 
     def rebucket_step(self, max_buckets: int = 1) -> dict:
