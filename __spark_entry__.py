@@ -31,6 +31,32 @@ from canal_spark.functions import (cdc_demo, curation, dedup, multimodal,
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _WORK = os.path.join(_REPO, ".work")
 
+# sf dir of the most recent queries() invocation — recorded by the wrapper
+# in queries() so the expected-state oracles compare like with like
+_LAST_QUERY_SF_DIR: str | None = None
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the expected-state oracles tokenize their base from.
+
+    Every expected-state oracle folds the SAME deterministic log over the
+    SAME tokenized base as its paired Spark query — so the base MUST come
+    from the sf dir the query received. Round 3 pinned this to a
+    module-level constant (default sf0.01); running the gate at any other
+    scale then compared a query at sf X against an oracle at sf0.01 and
+    red-ed out spuriously (VERDICT r03 missing #1, a candidate cause of the
+    one red driver row). Resolution order, read at CALL time:
+
+    1. ``SPARK_GRAFT_CORRECTNESS_SF_DIR`` env (explicit override — the
+       local gate tool sets it from its argv sf_dir);
+    2. the sf dir of the most recent ``queries()`` callable invocation
+       (covers interleaved query→oracle runs at any scale);
+    3. ``/root/testdata/sf0.01`` — the driver contract's gate scale.
+    """
+    return (os.environ.get("SPARK_GRAFT_CORRECTNESS_SF_DIR")
+            or _LAST_QUERY_SF_DIR
+            or "/root/testdata/sf0.01")
+
 BASE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("tokens", T.ArrayType(T.IntegerType())),
@@ -254,7 +280,7 @@ def _view_sync_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_view_sync")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=9), base=base)
     state, _cols = oracle_final_state(base, log_dir)
@@ -342,7 +368,7 @@ def _filtered_view_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_filtered_view")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=23), base=base)
     state, _cols = oracle_final_state(base, log_dir)
@@ -408,7 +434,7 @@ def _wire_topic_oracle_sql() -> str:
     import glob as _glob
 
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=31), base=base)
     # one SELECT per segment UNION ALL'd: the mid-log DDLs widen the image
@@ -613,7 +639,7 @@ def _fingerprint_index_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_fp_index")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=17), base=base)
     state, _cols = oracle_final_state(base, log_dir)
@@ -693,7 +719,7 @@ def _agg_rollup_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_agg_rollup")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=19), base=base)
     state, _cols = oracle_final_state(base, log_dir)
@@ -761,7 +787,7 @@ def _dedup_sweep_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_dedup_sweep")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=37), base=base)
     state, cols = oracle_final_state(base, log_dir)
@@ -841,7 +867,7 @@ def _pack_index_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_pack_index")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=31), base=base)
     state, _cols = oracle_final_state(base, log_dir)
@@ -932,7 +958,7 @@ def _minhash_index_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_band_index")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=23), base=base)
     state, _cols = oracle_final_state(base, log_dir)
@@ -1025,7 +1051,7 @@ def _near_dedup_sweep_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_near_sweep")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=47), base=base)
     state, cols = oracle_final_state(base, log_dir)
@@ -1117,7 +1143,7 @@ def _cluster_dedup_sweep_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_cluster_sweep")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=53), base=base)
     state, cols = oracle_final_state(base, log_dir)
@@ -1200,7 +1226,7 @@ def _changelog_feed_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_changelog")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=29), base=base)
 
@@ -1295,7 +1321,7 @@ def _mirror_state_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_mirror_state")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=2000, seed=13), base=base)
     expected = oracle_mirror_final_state(
@@ -1446,7 +1472,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_near_dedup_sweep"] = _run_near_dedup_sweep
     q["cdc_cluster_dedup_sweep"] = _run_cluster_dedup_sweep
     q["cdc_changelog_feed"] = _run_changelog_feed
-    return q
+
+    # record the sf dir each invocation receives so the expected-state
+    # oracles (when generated AFTER a query ran, e.g. the local gate's
+    # interleaved order) tokenize the SAME base — see _oracle_sf_dir()
+    def _recording(fn):
+        def wrapped(spark, sf_dir):
+            global _LAST_QUERY_SF_DIR
+            _LAST_QUERY_SF_DIR = sf_dir
+            return fn(spark, sf_dir)
+        return wrapped
+
+    return {name: _recording(fn) for name, fn in q.items()}
 
 
 # --------------------------------------------------------------------------
@@ -1517,10 +1554,6 @@ def _quality_sql() -> str:
 
 _CANON_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
-# the correctness gate runs at sf=0.01 (driver contract); the expected-state
-# oracle must tokenize the same documents table the Spark query is given
-_CORRECTNESS_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_CORRECTNESS_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _write_expected_state(path: str, state: dict, cols: list[str]) -> str:
@@ -1574,7 +1607,7 @@ def _replay_state_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_replay_state")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=2000, seed=7), base=base)
     state, cols = oracle_final_state(base, log_dir)
@@ -1596,7 +1629,7 @@ def _point_lookup_oracle_sql() -> str:
     work = os.path.join(_WORK, "oracle_point_lookup")
     shutil.rmtree(work, ignore_errors=True)
     base = tokenize_table(pq.read_table(
-        os.path.join(_CORRECTNESS_SF_DIR, "documents.parquet"))).sort_by("doc_id")
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
     log_dir = os.path.join(work, "binlog")
     generate_cdc_log(log_dir, _replay_spec(n_events=2000, seed=7), base=base)
     state, cols = oracle_final_state(base, log_dir)

@@ -171,21 +171,28 @@ def main() -> None:
     cpu_canary()                       # JIT warm
     canary_pre = cpu_canary()
 
-    # adaptive best-of-N replays (4-6): the first heavy job in a fresh JVM
-    # on this VM is reproducibly 2-30x slower than steady state (JIT + CPU
-    # steal; PERF.md "benchmark hygiene") and even the third run is often
-    # still descending (measured 22.4/8.2/7.4 s stopping a rep short of a
-    # 6.4 s steady state). Minimum 4 timed reps, then stop once the two
-    # fastest agree within ~17.6% (s[0] >= 0.85*s[1]): that pair is the
-    # engine, the rest is the host.
+    # Replay timing protocol (VERDICT r03 wrong #2 — the r3 artifact
+    # recorded 8.856 s while reps were still strictly descending
+    # 17.2→10.3→8.9→8.86, i.e. the JVM/code-cache never converged before
+    # the adaptive stop fired):
+    #   1. TWO fixed warm-up reps, always discarded — the first heavy job
+    #      in a fresh JVM is reproducibly 2-30x slower than steady state
+    #      (JIT + page cache; PERF.md "benchmark hygiene") and the second
+    #      is often still descending.
+    #   2. Timed reps run TO PLATEAU: stop only once the last two
+    #      consecutive runs agree within 8% — a still-descending sequence
+    #      keeps running (cap 6 timed reps as the host-noise backstop).
+    #   3. Report the best timed rep (the engine; slower reps are host).
     stat0 = _cpu_stat()
+    warmups = [run_replay(spark, log_dir, base_path, table_dir,
+                          n_buckets=cpus) for _ in range(2)]
     reps = []
     for _ in range(6):
         reps.append(run_replay(spark, log_dir, base_path, table_dir,
                                n_buckets=cpus))
-        if len(reps) >= 4:
-            s = sorted(x["sec"] for x in reps)
-            if s[0] >= 0.85 * s[1]:
+        if len(reps) >= 2:
+            a, b = reps[-2]["sec"], reps[-1]["sec"]
+            if abs(a - b) <= 0.08 * min(a, b):
                 break
     rep = min(reps, key=lambda r: r["sec"])
     timings["cdc_replay"] = round(rep["sec"], 3)
@@ -223,6 +230,7 @@ def main() -> None:
         "sf": sf,
         "replay_events": rep["events"],
         "replay_events_per_sec": round(rep["events_per_sec"], 1),
+        "replay_warmup_runs_sec": [round(r["sec"], 3) for r in warmups],
         "replay_runs_sec": [round(r["sec"], 3) for r in reps],
         "host_steal_pct": steal_pct,    # co-tenant CPU noise during the bench
         "host_iowait_pct": iowait_pct,  # shared virtio disk contention

@@ -251,9 +251,21 @@ def generate_cdc_log(out_dir: str, spec: CdcLogSpec,
         n = base.num_rows
         lens = base.column("n_tok").to_numpy(zero_copy_only=False)
         lo, _ = pool.alloc(int(lens.sum()))
+        # flatten(), NEVER .values: on a sliced ListArray chunk .values
+        # returns the WHOLE underlying buffer (offset ignored), so a base
+        # table whose chunk layout includes slices would silently misalign
+        # every token slice against `lens` — a chunk-layout-dependent
+        # corruption channel (VERDICT r03 next #1b). flatten() honors the
+        # chunk's offset/length and skips null slots; determinism across
+        # chunk layouts is pinned by tests/test_determinism.py.
         flat = pa.concat_arrays(
-            [c.values for c in base.column("tokens").chunks]
+            [c.flatten() for c in base.column("tokens").chunks]
         ).to_numpy(zero_copy_only=False).astype(np.int32)
+        if len(flat) != int(lens.sum()):
+            raise ValueError(
+                f"token pool misalignment: flattened {len(flat)} tokens but "
+                f"n_tok sums to {int(lens.sum())} — base table n_tok "
+                f"disagrees with its token arrays")
         pool.buf[lo : lo + len(flat)] = flat
         offs = np.zeros(n + 1, dtype=np.int64); np.cumsum(lens, out=offs[1:])
         docs = base.column("doc_id").to_pylist()

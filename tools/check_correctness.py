@@ -37,6 +37,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # pin the expected-state oracles to THIS gate's sf dir — without it, a
+    # gate at any sf other than the driver-contract sf0.01 compared queries
+    # at sf X against oracles at sf0.01 and red-ed out spuriously
+    # (VERDICT r03 missing #1)
+    os.environ["SPARK_GRAFT_CORRECTNESS_SF_DIR"] = sf_dir
+
     import __spark_entry__ as ent
     from canal_spark.session import get_spark
 
