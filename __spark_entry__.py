@@ -1273,6 +1273,88 @@ def _changelog_feed_oracle_sql() -> str:
     return f"SELECT * FROM read_parquet('{p}')"
 
 
+def _run_consumer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple independent consumers off ONE changelog feed (the
+    reference's per-destination cursors — CanalServerWithEmbedded.java:
+    191-222 subscribe/get/ack per ClientIdentity, FileMixedMetaManager's
+    per-destination meta): replay the deterministic binlog into a
+    changelog-enabled primary in two delivery windows; a FAST consumer
+    relays (and expires) after each window, a SLOW one drains once at the
+    end — feed retention is governed by the slowest registered ack, so the
+    fast consumer's expiry never drops what the slow one still needs. Both
+    consumers must equal the sequential expected state; the feed must be
+    fully freed after the slow ack passes. Returns both consumers' final
+    canonical states tagged by consumer name."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.streaming.relay import register_consumer, relay_until_idle
+    from canal_spark.table.lake import LakeTable
+
+    work = os.path.join(_WORK, "q_consumer_groups")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=43), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    primary = LakeTable.create(spark, os.path.join(work, "tokseq"),
+                               BASE_SCHEMA, key_col="doc_id", n_buckets=8,
+                               df=base_df, changelog=True)
+    fast = LakeTable.create(spark, os.path.join(work, "fast"), BASE_SCHEMA,
+                            key_col="doc_id", n_buckets=8, df=base_df)
+    slow = LakeTable.create(spark, os.path.join(work, "slow"), BASE_SCHEMA,
+                            key_col="doc_id", n_buckets=8, df=base_df)
+    register_consumer(primary, "fast")
+    register_consumer(primary, "slow")
+
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    half = max(1, len(segs) // 2)
+    for i, window in enumerate((segs[:half], segs[half:])):
+        if not window:
+            continue
+        replay(spark, log_dir, primary.refresh(), files=window,
+               batch_id=f"w{i}")
+        relay_until_idle(primary.refresh(), fast, prefix="fast",
+                         consumer="fast", expire_acked=True)
+    relay_until_idle(primary.refresh(), slow, prefix="slow",
+                     consumer="slow", expire_acked=True)
+    if primary.refresh().snap["changelog"]:
+        raise RuntimeError("feed not freed after slowest ack passed head")
+    out = None
+    for name, t in (("fast", fast), ("slow", slow)):
+        st = _canonical_state(t.refresh().read()).select(
+            F.lit(name).alias("consumer"), "*")
+        out = st if out is None else out.unionByName(st)
+    return out
+
+
+def _consumer_groups_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_consumer_groups``: the sequential python fold of
+    the identical log is THE expected state of BOTH consumers (cadence and
+    expiry cannot change a consumer's converged state)."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_consumer_groups")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=43), base=base)
+    state, cols = oracle_final_state(base, log_dir)
+    p = _write_expected_state(os.path.join(work, "expected.parquet"), state, cols)
+    return (f"SELECT 'fast' AS consumer, * FROM read_parquet('{p}') "
+            f"UNION ALL SELECT 'slow' AS consumer, * FROM read_parquet('{p}')")
+
+
 def _run_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-database mirror (RdbMirrorDbSyncService analog, SURVEY §2
     rows 4/36): one deterministic binlog carrying TWO source tables fans
@@ -1472,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_near_dedup_sweep"] = _run_near_dedup_sweep
     q["cdc_cluster_dedup_sweep"] = _run_cluster_dedup_sweep
     q["cdc_changelog_feed"] = _run_changelog_feed
+    q["cdc_consumer_groups"] = _run_consumer_groups
 
     # record the sf dir each invocation receives so the expected-state
     # oracles (when generated AFTER a query ran, e.g. the local gate's
@@ -1755,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_near_dedup_sweep"] = _near_dedup_sweep_oracle_sql()
         o["cdc_cluster_dedup_sweep"] = _cluster_dedup_sweep_oracle_sql()
         o["cdc_changelog_feed"] = _changelog_feed_oracle_sql()
+        o["cdc_consumer_groups"] = _consumer_groups_oracle_sql()
     except Exception:
         pass
     return o

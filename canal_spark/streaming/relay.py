@@ -26,6 +26,9 @@ table's normal bucket-pruned apply.
 
 from __future__ import annotations
 
+import json
+import os
+
 from canal_spark.operators.lww import collapse_lww
 from canal_spark.table.lake import LakeTable
 
@@ -61,8 +64,102 @@ def _record_ack(dst: LakeTable, prefix: str, head: int) -> None:
         dst._commit_meta(relay_acks=acks)
 
 
+# --------------------------------------------------------------- consumers
+# The reference keeps per-DESTINATION cursors on the server side (meta per
+# destination, server/.../CanalServerWithEmbedded.java:191-222 subscribe/
+# get/ack each take a ClientIdentity; meta/.../FileMixedMetaManager.java
+# persists one cursor per destination+client — SEPARATE from the data).
+# The lake analog: a named consumer registry beside the feed —
+# ``{src.path}/consumers/{name}.json`` holding the consumer's last acked
+# feed version — so N independent consumers share one feed and the feed's
+# retention is governed by the SLOWEST ack, not any single relay. The
+# registry deliberately lives OUTSIDE the snapshot chain: an ack is a
+# cursor, not table state, and recording it as a snapshot commit would
+# bump ``src.version`` on every poll — each consumer's ack would look like
+# "new upstream work" to every OTHER consumer and idle relays would wake
+# each other forever.
+
+
+def _consumers_dir(src: LakeTable) -> str:
+    return os.path.join(src.path, "consumers")
+
+
+def consumer_acks(src: LakeTable) -> dict[str, int]:
+    """The source-side consumer registry: name → last acked feed version."""
+    d = _consumers_dir(src)
+    out: dict[str, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out[f[:-5]] = int(json.load(fh)["ack"])
+    return out
+
+
+def _write_consumer_ack(src: LakeTable, name: str, ack: int) -> None:
+    """Atomic (write + rename) cursor update, monotonic."""
+    d = _consumers_dir(src)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{name}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"ack": int(ack)}, fh)
+    os.replace(tmp, p)
+
+
+def register_consumer(src: LakeTable, name: str, ack: int | None = None) -> int:
+    """Register (or re-position) a named consumer on the source feed — the
+    reference's ``subscribe`` (CanalServerWithEmbedded.java:191-222).
+
+    ``ack=None`` registers at the feed's retention floor: a brand-new
+    consumer starts at 0 only if the feed still holds v1 (nothing expired);
+    otherwise it must start just below the oldest retained version —
+    versions before that are gone, so claiming them would silently skip
+    data. Returns the registered ack position. Registration is what makes
+    the consumer count toward ``expire_acked``'s min — an unregistered
+    relay gives the feed no reason to retain anything for it."""
+    src.refresh()
+    if ack is None:
+        retained = [int(v) for v in src.snap.get("changelog", {})]
+        ack = min(retained) - 1 if retained else src.version
+    _write_consumer_ack(src, name, int(ack))
+    return int(ack)
+
+
+def _record_consumer_ack(src: LakeTable, name: str, head: int) -> None:
+    """Advance a named consumer's source-side ack (monotonic). Written
+    AFTER the destination's data commit, so a crash in between leaves the
+    src ack behind — the re-pull is a ledger no-op."""
+    cur = consumer_acks(src).get(name, 0)
+    if cur < head:
+        _write_consumer_ack(src, name, head)
+
+
+def subscribe(src: LakeTable, dst: LakeTable, consumer: str) -> int:
+    """A NEW consumer joins a live feed: snapshot-backfill the destination
+    from the source's current state, then register the consumer's ack AT
+    that snapshot version — churn after the snapshot arrives via
+    ``relay_step(consumer=...)``. This is the reference's client bootstrap
+    (full ETL import, client-adapter/common/.../AbstractEtlService.java,
+    followed by incremental sync from the subscription position)."""
+    from pyspark.sql import functions as F
+
+    src.refresh()
+    head = src.version
+    snap_df = src.read()
+    cols = dst.logical_columns()
+    dtypes = dst.schema()
+    dst.overwrite(snap_df.select(
+        *[F.col(c).cast(dtypes[c].dataType).alias(c) if c in snap_df.columns
+          else F.lit(None).cast(dtypes[c].dataType).alias(c) for c in cols]),
+        batch_id=f"subscribe/{consumer}/v{head:08d}")
+    return register_consumer(src, consumer, ack=head)
+
+
 def relay_step(src: LakeTable, dst: LakeTable,
                prefix: str = RELAY_PREFIX,
+               consumer: str | None = None,
                expire_acked: bool = False) -> dict:
     """One poll of the client loop: get (ack, head] → apply → ack.
 
@@ -82,15 +179,31 @@ def relay_step(src: LakeTable, dst: LakeTable,
     never advances). Also propagates a metadata TRUNCATE fence the feed
     cannot carry.
 
-    ``expire_acked``: after a successful apply, drop the feed files this
-    relay just consumed (single-consumer deployments; the reference frees
-    acked events from its ring buffer the same way,
-    store/.../MemoryEventStoreWithBuffer.java:463-519). Leave False when
-    several consumers share the feed and expire on the slowest ack.
+    ``consumer``: a name in the SOURCE's consumer registry (the reference's
+    per-destination client identity). Named relays record their ack on the
+    source snapshot too, so ``expire_acked`` can free the feed at the
+    MINIMUM over all registered consumers instead of this relay's own head
+    — N independent consumers of one feed, each at its own cadence, with
+    retention governed by the slowest (FileMixedMetaManager's per-
+    destination cursors). First use auto-registers at the feed's retention
+    floor; use ``register_consumer``/``subscribe`` to position explicitly.
+
+    ``expire_acked``: after a successful apply, drop consumed feed files —
+    up to min(all registered consumer acks) when ``consumer`` is set, else
+    up to this relay's own head (single-consumer deployments; the reference
+    frees acked events from its ring buffer the same way,
+    store/.../MemoryEventStoreWithBuffer.java:463-519).
     """
     src.refresh()
     dst.refresh()
     ack = acked_version(dst, prefix)
+    if consumer is not None:
+        if consumer not in consumer_acks(src):
+            register_consumer(src, consumer)
+        # the src-side ack is written only after the dst data commit, so it
+        # never leads the dst ledger; max() just skips an already-consumed
+        # range faster after dst-ledger eviction
+        ack = max(ack, consumer_acks(src).get(consumer, 0))
     head = src.version
 
     # TRUNCATE is a metadata commit — invisible to the row feed by design;
@@ -100,6 +213,10 @@ def relay_step(src: LakeTable, dst: LakeTable,
         dst.truncate(lsn=src_trunc)
 
     if head <= ack:
+        if consumer is not None:
+            # repair a src-side cursor that trails the dst ledger (a crash
+            # landed between the data commit and the ack write)
+            _record_consumer_ack(src, consumer, ack)
         return {"applied": False, "ack": ack, "head": head}
 
     src_types = {f.name: f.dataType for f in src.schema().fields}
@@ -112,6 +229,16 @@ def relay_step(src: LakeTable, dst: LakeTable,
 
     from pyspark.sql import functions as F
 
+    # fast path: metadata-only upstream commits (expiry, another relay's
+    # bookkeeping, DDL already mirrored above) leave no feed entries in
+    # (ack, head] — advance the cursors without launching a merge job, and
+    # report idle so poll loops don't treat it as progress
+    if not any(ack < int(v) <= head for v in src.snap.get("changelog", {})):
+        _record_ack(dst, prefix, head)
+        if consumer is not None:
+            _record_consumer_ack(src, consumer, head)
+        return {"applied": False, "ack": head, "head": head}
+
     feed = src.read_changes(since_version=ack, until_version=head)
     net = collapse_lww(feed.drop("_commit_version"), key=dst.key_col)
     cols = dst.logical_columns()
@@ -122,14 +249,24 @@ def relay_step(src: LakeTable, dst: LakeTable,
         "op", "lsn")
     res = dst.merge_apply(net, batch_id=f"{prefix}/v{head:08d}")
     _record_ack(dst, prefix, head)
+    if consumer is not None:
+        _record_consumer_ack(src, consumer, head)
     if expire_acked and not res.get("skipped"):
-        src.expire_changelog(upto_version=head)
+        if consumer is not None:
+            # free only what EVERY registered consumer has passed — the
+            # slowest ack governs retention (the reference's ring buffer
+            # frees on the slowest client's ack position the same way)
+            floor = min(consumer_acks(src).values())
+        else:
+            floor = head
+        src.expire_changelog(upto_version=floor)
     return {"applied": not res.get("skipped", False), "ack": head,
             "head": head, **{k: v for k, v in res.items() if k != "skipped"}}
 
 
 def relay_until_idle(src: LakeTable, dst: LakeTable,
                      prefix: str = RELAY_PREFIX,
+                     consumer: str | None = None,
                      expire_acked: bool = False,
                      max_polls: int = 1000) -> list[dict]:
     """Poll until the downstream has acked the upstream head (a drained
@@ -138,7 +275,8 @@ def relay_until_idle(src: LakeTable, dst: LakeTable,
     tick instead of a tight loop."""
     out: list[dict] = []
     for _ in range(max_polls):
-        r = relay_step(src, dst, prefix=prefix, expire_acked=expire_acked)
+        r = relay_step(src, dst, prefix=prefix, consumer=consumer,
+                       expire_acked=expire_acked)
         out.append(r)
         if not r["applied"]:
             break

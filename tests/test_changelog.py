@@ -307,3 +307,131 @@ def test_relay_survives_upstream_drop_column(spark, tmp_work):
     # the poll loop stays healthy: next poll is a clean no-op
     r2 = relay_step(primary.refresh(), consumer.refresh())
     assert not r2["applied"]
+
+
+def test_consumer_groups_two_cadences(spark, tmp_work):
+    """N independent consumers off ONE feed (the reference's per-destination
+    meta cursors, CanalServerWithEmbedded.java:191-222): a fast consumer
+    polls every window, a slow one once at the end; both converge exactly,
+    and ``expire_acked`` frees feed files only past the SLOWEST registered
+    ack — the fast consumer's expiry polls must never drop what the slow
+    one still needs."""
+    from canal_spark.streaming.relay import (consumer_acks, register_consumer,
+                                             relay_step, relay_until_idle)
+
+    spec = CdcLogSpec(n_events=2400, seed=97, events_per_file=300,
+                      pk_change_frac=0.04)
+    base, log_dir, primary, fast = _setup(spark, tmp_work, spec)
+    slow = LakeTable.create(spark, os.path.join(tmp_work, "slow"),
+                            TOKSEQ_SCHEMA, n_buckets=8,
+                            df=spark.createDataFrame(base.to_pandas(),
+                                                     TOKSEQ_SCHEMA))
+    # both consumers registered up front: the feed retains for both
+    register_consumer(primary, "fast")
+    register_consumer(primary, "slow")
+
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    for i in range(0, len(segs), 2):
+        replay(spark, log_dir, primary.refresh(), files=segs[i:i + 2],
+               batch_id=f"w{i}")
+        r = relay_step(primary.refresh(), fast, prefix="fast",
+                       consumer="fast", expire_acked=True)
+        assert r["applied"]
+        # slow hasn't moved: nothing may be expired past its ack (0)
+        assert len(primary.refresh().snap["changelog"]) > 0
+        assert min(int(v) for v in primary.snap["changelog"]) \
+            > consumer_acks(primary)["slow"]
+
+    # slow catches up in one drain; its expiry now frees the whole feed
+    polls = relay_until_idle(primary.refresh(), slow, prefix="slow",
+                             consumer="slow", expire_acked=True)
+    assert any(p["applied"] for p in polls)
+    assert _state(fast) == _state(primary)
+    assert _state(slow) == _state(primary)
+    assert primary.refresh().snap["changelog"] == {}  # slowest ack passed all
+
+    # drained feed: idle polls ride the metadata fast path (no merge job),
+    # bring both cursors to the head, and never wake each other (the
+    # registry lives outside the snapshot chain, so acks don't bump the
+    # source version)
+    v = primary.refresh().version
+    r1 = relay_step(primary.refresh(), fast, prefix="fast", consumer="fast")
+    r2 = relay_step(primary.refresh(), slow, prefix="slow", consumer="slow")
+    assert not r1["applied"] and not r2["applied"]
+    assert primary.refresh().version == v
+    acks = consumer_acks(primary)
+    assert acks["slow"] == acks["fast"] == v
+
+
+def test_consumer_group_resume_after_crash(spark, tmp_work):
+    """A named consumer rebuilt from disk (fresh handles) resumes from its
+    cursor; a crash BETWEEN the downstream data commit and the source-side
+    ack write replays into a ledger no-op and then repairs the cursor."""
+    from canal_spark.streaming.relay import (_record_consumer_ack,
+                                             _write_consumer_ack,
+                                             consumer_acks, relay_step)
+
+    spec = CdcLogSpec(n_events=1600, seed=98, events_per_file=400)
+    base, log_dir, primary, consumer = _setup(spark, tmp_work, spec)
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    replay(spark, log_dir, primary, files=segs[:2], batch_id="w1")
+    r1 = relay_step(primary.refresh(), consumer, consumer="c1")
+    assert r1["applied"]
+    assert consumer_acks(primary)["c1"] == r1["ack"]
+
+    # simulate the crash window: roll the src-side cursor BACK (the dst
+    # data commit + ledger entry survived) and re-poll — ledger no-op,
+    # cursor repaired forward
+    _write_consumer_ack(primary, "c1", 0)
+    primary2, consumer2 = LakeTable(spark, primary.path), \
+        LakeTable(spark, consumer.path)
+    r2 = relay_step(primary2, consumer2, consumer="c1")
+    assert not r2["applied"]                       # redelivery absorbed
+    assert consumer_acks(primary2)["c1"] == r1["ack"]
+
+    replay(spark, log_dir, primary2.refresh(), files=segs[2:], batch_id="w2")
+    r3 = relay_step(primary2.refresh(), consumer2, consumer="c1")
+    assert r3["applied"]
+    assert _state(consumer2) == _state(primary2)
+    # _record_consumer_ack is monotonic: a stale write never regresses
+    _record_consumer_ack(primary2, "c1", 1)
+    assert consumer_acks(primary2)["c1"] == r3["ack"]
+
+
+def test_consumer_subscribe_joins_live_feed(spark, tmp_work):
+    """A NEW consumer joins mid-stream via subscribe(): snapshot backfill +
+    registration at the snapshot version; earlier feed files it never saw
+    can already be gone (expired by older consumers), later churn arrives
+    incrementally — final state exact."""
+    from canal_spark.streaming.relay import (consumer_acks, relay_step,
+                                             relay_until_idle, subscribe)
+
+    spec = CdcLogSpec(n_events=2000, seed=99, events_per_file=400,
+                      pk_change_frac=0.03)
+    base, log_dir, primary, veteran = _setup(spark, tmp_work, spec)
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    half = len(segs) // 2
+
+    replay(spark, log_dir, primary, files=segs[:half], batch_id="w1")
+    relay_until_idle(primary.refresh(), veteran, consumer="veteran",
+                     expire_acked=True)
+    assert primary.refresh().snap["changelog"] == {}  # early feed is GONE
+
+    # newcomer subscribes: backfill from the snapshot, not the (expired) feed
+    newcomer = LakeTable.create(spark, os.path.join(tmp_work, "newcomer"),
+                                TOKSEQ_SCHEMA, n_buckets=8)
+    ack0 = subscribe(primary.refresh(), newcomer, "newcomer")
+    assert ack0 == primary.version
+    assert _state(newcomer) == _state(primary)
+
+    replay(spark, log_dir, primary.refresh(), files=segs[half:],
+           batch_id="w2")
+    relay_until_idle(primary.refresh(), newcomer, consumer="newcomer",
+                     expire_acked=True)
+    relay_until_idle(primary.refresh(), veteran, consumer="veteran",
+                     expire_acked=True)
+    assert _state(newcomer) == _state(primary)
+    assert _state(veteran) == _state(primary)
+    acks = consumer_acks(primary)
+    assert set(acks) == {"veteran", "newcomer"}
+    assert primary.refresh().snap["changelog"] == {}
