@@ -737,6 +737,93 @@ def _agg_rollup_oracle_sql() -> str:
             f"FROM read_parquet('{p}') GROUP BY source")
 
 
+CHILD_AGG_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("src_kind", T.StringType()),
+    T.StructField("src_weight_e2", T.IntegerType()),
+    T.StructField("n_child", T.LongType()),
+    T.StructField("sum_n_tok", T.LongType()),
+])
+
+
+def _run_child_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many maintained view (ChildAggView — the reference ES
+    adapter's sub-table shape, client-adapter/escore/.../ESSyncService.java
+    :587-698): one view row per PARENT (the source dim), payload carried,
+    child aggregates (doc count + token sum over the CDC'd tokseq table)
+    kept current by AggRollupView's retraction kernel keyed on the foreign
+    key. Children referencing absent parents update nothing. Returns the
+    view's final state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import ChildAggView
+
+    work = os.path.join(_WORK, "q_child_agg")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=47), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    parents = spark.createDataFrame(_VIEW_DIM_ROWS, _VIEW_DIM_DDL)
+    vt = LakeTable.create(spark, os.path.join(work, "child_agg"),
+                          CHILD_AGG_SCHEMA, key_col="source", n_buckets=4)
+    view = ChildAggView(vt, table, "source", ("n_tok",))
+    vt.overwrite(view.seed_frame(parents, base_df), batch_id="seed")
+    replay(spark, log_dir, table.refresh(), views=[view])
+    return vt.refresh().read().select(*[f.name for f in CHILD_AGG_SCHEMA])
+
+
+def _child_agg_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_child_agg_view``: sequential python fold of the
+    identical log → per-parent GROUP BY joined to the dim payload (absent
+    groups → zeros; non-dim sources excluded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_child_agg")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=47), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    agg: dict[str, list[int]] = {}
+    for row in state.values():
+        g = row.get("source")
+        if g is None:
+            continue
+        a = agg.setdefault(str(g), [0, 0])
+        a[0] += 1
+        a[1] += int(row.get("n_tok") or 0)
+    data = {
+        "source": pa.array([r[0] for r in _VIEW_DIM_ROWS], pa.string()),
+        "src_kind": pa.array([r[1] for r in _VIEW_DIM_ROWS], pa.string()),
+        "src_weight_e2": pa.array([int(r[2]) for r in _VIEW_DIM_ROWS],
+                                  pa.int32()),
+        "n_child": pa.array([agg.get(r[0], [0, 0])[0]
+                             for r in _VIEW_DIM_ROWS], pa.int64()),
+        "sum_n_tok": pa.array([agg.get(r[0], [0, 0])[1]
+                               for r in _VIEW_DIM_ROWS], pa.int64()),
+    }
+    os.makedirs(work, exist_ok=True)
+    p = os.path.join(work, "expected.parquet")
+    pq.write_table(pa.table(data), p)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 def _run_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-driven dedup sweep (canal_spark/curate.py): replay maintains
     the exact-dup fingerprint index, then the sweep reads THE INDEX to pick
@@ -1548,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_mirror_state"] = _run_mirror
     q["cdc_fingerprint_index"] = _run_fingerprint_index
     q["cdc_agg_rollup"] = _run_agg_rollup
+    q["cdc_child_agg_view"] = _run_child_agg_view
     q["cdc_minhash_index"] = _run_minhash_index
     q["cdc_pack_index"] = _run_pack_index
     q["cdc_dedup_sweep"] = _run_dedup_sweep
@@ -1832,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_mirror_state"] = _mirror_state_oracle_sql()
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
         o["cdc_agg_rollup"] = _agg_rollup_oracle_sql()
+        o["cdc_child_agg_view"] = _child_agg_oracle_sql()
         o["cdc_minhash_index"] = _minhash_index_oracle_sql()
         o["cdc_pack_index"] = _pack_index_oracle_sql()
         o["cdc_dedup_sweep"] = _dedup_sweep_oracle_sql()

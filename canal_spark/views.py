@@ -629,6 +629,207 @@ def rollup_deltas(old: DataFrame, chg: DataFrame, key: str,
                            + [f"_ds_{c} != 0" for c in sums])))
 
 
+class ChildAggView:
+    """The reference ES adapter's ONE-TO-MANY sub-table shape: a view row
+    per PARENT, enriched with aggregates over its CHILD rows, maintained
+    from the CHILD table's CDC stream (client-adapter/escore/.../
+    ESSyncService.java:587-698 — a main-table document updated whenever any
+    of its sub-table rows changes; the "orders per customer" case).
+
+    Composition (VERDICT r03 next #4): the child-change direction IS
+    AggRollupView's retraction kernel (``rollup_deltas`` — signed deltas of
+    one batch against the child's parent snapshot, grouped by the foreign
+    key), wired into a view whose rows are parents:
+
+    - the view table is keyed on the PARENT key (= the child's ``fk_col``
+      value) and carries parent payload columns plus ``n_child`` and
+      ``sum_<c>`` aggregate columns;
+    - per child batch: deltas by fk → inner-join against the CURRENT view
+      rows (bucket-pruned: fk IS the view key, so file stats apply) →
+      aggregates adjusted, payload carried forward unchanged. Parents not
+      in the view are SKIPPED, matching the reference (it re-queries and
+      updates EXISTING documents; a child referencing an absent parent
+      updates nothing);
+    - a parent whose children all disappear keeps its row with zeroed
+      aggregates (the parent still exists — unlike AggRollupView, where a
+      zero-count group is a dead row);
+    - exactly-once: the view table's ledger + a per-row LSN stamp
+      ``greatest(range_hi || '~c', stored || '~c')``, monotone per parent.
+
+    Parent-change direction (``apply_parent_changes``): upserts of parents
+    already in the view carry their aggregates; NEW parents seed their
+    aggregates with one aggregate scan of the child table filtered to the
+    new keys — a pushed fk filter, but still a child SCAN per batch unless
+    the child is bucketed by fk (the reference pays the same shape: a full
+    sub-table re-query per new main row, ESSyncService.java:587-698).
+    Parent deletes tombstone the view row.
+    """
+
+    def __init__(self, view_table: LakeTable, child: LakeTable,
+                 fk_col: str, sum_cols: tuple = ("n_tok",)):
+        self.table = view_table
+        self.child = child
+        self.fk_col = fk_col
+        self.sum_cols = tuple(sum_cols)
+
+    def apply(self, net_changes: DataFrame, batch_id: str | None = None,
+              max_lsn: str | None = None) -> dict:
+        from canal_spark.lsn import ZERO_LSN
+        from canal_spark.table.lake import _ledger_add
+
+        if batch_id is not None and self.table.is_applied(batch_id):
+            return {"skipped": True}
+        child = self.child.refresh()
+        ckey = child.key_col
+        fk, sums = self.fk_col, self.sum_cols
+        vkey = self.table.key_col
+        parent = child.snap.get("parent", child.snap["version"])
+        psnap = child.load_version(parent)
+        trunc = psnap.get("truncate_lsn", "")
+
+        have = set(net_changes.columns)
+        chg = net_changes.where(F.col(ckey).isNotNull())
+        if trunc:
+            chg = chg.where(F.col("lsn") > trunc)
+        chg = chg.select(
+            F.col(ckey), "op", "lsn",
+            (F.col(fk).cast("string") if fk in have
+             else F.lit(None).cast("string")).alias("_n_g"),
+            *[(F.col(c) if c in have else F.lit(None)).cast("long")
+              .alias(f"_n_{c}") for c in sums])
+        # ONE metadata action: the batch's child-table buckets (routed via
+        # the PARENT snapshot's spec — same mid-migration rule as
+        # AggRollupView) + the range's max LSN
+        brows = (chg.groupBy(child._bucket_col(ckey, psnap).alias("_b"))
+                 .agg(F.max("lsn").alias("mx")).collect())
+        if not brows:
+            if batch_id is not None:
+                self.table._commit_meta(applied_batches=_ledger_add(
+                    self.table.snap["applied_batches"], batch_id))
+            return {"skipped": False, "parents": 0}
+        bks = sorted(r["_b"] for r in brows)
+        hi = max_lsn or max(r["mx"] for r in brows)
+
+        old = (
+            child.read_raw(buckets=bks, version=parent)
+            .select(F.col(ckey),
+                    F.col(fk).cast("string").alias("_o_g"),
+                    *[F.col(c).cast("long").alias(f"_o_{c}") for c in sums],
+                    F.col("_source_lsn").alias("_o_lsn"),
+                    F.coalesce(F.col("_deleted"), F.lit(False)).alias("_o_del"))
+        )
+        deltas = (rollup_deltas(old, chg, ckey, sums)
+                  .where(F.col("_g").isNotNull()).persist())
+        try:
+            vrows = (deltas.select(
+                self.table._bucket_col("_g").alias("_b"))
+                .distinct().collect())
+            if not vrows:
+                if batch_id is not None:
+                    self.table._commit_meta(applied_batches=_ledger_add(
+                        self.table.snap["applied_batches"], batch_id))
+                return {"skipped": False, "parents": 0}
+            payload = [c for c in self.table.logical_columns()
+                       if c != vkey and c != "n_child"
+                       and c not in {f"sum_{c2}" for c2 in sums}]
+            cur = (
+                self.table.read_raw(buckets=[r["_b"] for r in vrows])
+                .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                .select(F.col(vkey).alias("_g"), *payload,
+                        F.coalesce(F.col("n_child"), F.lit(0)).alias("n_child"),
+                        *[F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                          .alias(f"sum_{c}") for c in sums],
+                        F.coalesce(F.nullif(F.col("_source_lsn"), F.lit("")),
+                                   F.lit(ZERO_LSN)).alias("_v_lsn"))
+            )
+            # INNER join: children of parents absent from the view update
+            # nothing (reference semantics — see class docstring)
+            jj = deltas.join(cur, "_g", "inner")
+            stamp = F.greatest(
+                F.concat(F.lit(hi), F.lit("~c")),
+                F.concat(F.col("_v_lsn"), F.lit("~c")))
+            out = jj.select(
+                F.col("_g").alias(vkey), *payload,
+                F.greatest(F.lit(0).cast("long"),
+                           (F.col("n_child") + F.col("_dn"))).alias("n_child"),
+                *[(F.col(f"sum_{c}") + F.col(f"_ds_{c}")).cast("long")
+                  .alias(f"sum_{c}") for c in sums],
+                F.lit("U").alias("op"),
+                stamp.alias("lsn"),
+            )
+            return self.table.merge_apply(out, batch_id=batch_id, max_lsn=hi)
+        finally:
+            deltas.unpersist()
+
+    def seed_frame(self, parents: DataFrame, child_df: DataFrame) -> DataFrame:
+        """Batch seed / recompute-from-scratch twin: parents left-joined to
+        the child aggregate — `view state == seed_frame(parents, child)` is
+        the maintained view's correctness invariant."""
+        vkey, fk, sums = self.table.key_col, self.fk_col, self.sum_cols
+        agg = (child_df.where(F.col(fk).isNotNull())
+               .groupBy(F.col(fk).cast("string").alias(vkey))
+               .agg(F.count("*").cast("long").alias("n_child"),
+                    *[F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0)))
+                      .alias(f"sum_{c}") for c in sums]))
+        out = parents.join(agg, vkey, "left")
+        return out.select(
+            *[f for f in parents.columns],
+            F.coalesce(F.col("n_child"), F.lit(0)).cast("long").alias("n_child"),
+            *[F.coalesce(F.col(f"sum_{c}"), F.lit(0)).cast("long")
+              .alias(f"sum_{c}") for c in sums])
+
+    def apply_parent_changes(self, net_changes: DataFrame,
+                             batch_id: str | None = None) -> dict:
+        """Parent-stream direction: parent upserts join their CURRENT view
+        aggregates (payload refresh); parents NEW to the view seed their
+        aggregates from one fk-filtered child aggregate; parent deletes
+        tombstone the view row. LSN fencing follows the parent stream's own
+        LSNs (the parent is a different table, so its LSN space is the
+        view's authority for payload columns — same single-writer rule as
+        JoinedView.apply_dim_changes)."""
+        vkey, sums = self.table.key_col, self.sum_cols
+        payload = [c for c in self.table.logical_columns()
+                   if c != vkey and c != "n_child"
+                   and c not in {f"sum_{c2}" for c2 in sums}]
+        aggs = ["n_child"] + [f"sum_{c}" for c in sums]
+        ups = net_changes.where(F.col("op") == "U") \
+            .select(vkey, *payload, "op", "lsn")
+        keys = ups.select(vkey)
+        cur = (self.table.read_raw()
+               .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+               .join(F.broadcast(keys.distinct()), vkey, "leftsemi")
+               .select(vkey, *[F.col(a).alias(f"_cur_{a}") for a in aggs]))
+        probe = keys.distinct().withColumnRenamed(vkey, "_probe_key")
+        child_df = self.child.refresh().read()
+        seeded = (child_df
+                  .where(F.col(self.fk_col).isNotNull())
+                  .join(F.broadcast(probe),
+                        child_df[self.fk_col].cast("string")
+                        == F.col("_probe_key"), "leftsemi")
+                  .groupBy(F.col(self.fk_col).cast("string").alias(vkey))
+                  .agg(F.count("*").cast("long").alias("_new_n_child"),
+                       *[F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0)))
+                         .alias(f"_new_sum_{c}") for c in sums]))
+        enriched = (ups.join(cur, vkey, "left").join(seeded, vkey, "left")
+                    .select(vkey, *payload,
+                            F.coalesce(F.col("_cur_n_child"),
+                                       F.col("_new_n_child"),
+                                       F.lit(0)).cast("long").alias("n_child"),
+                            *[F.coalesce(F.col(f"_cur_sum_{c}"),
+                                         F.col(f"_new_sum_{c}"),
+                                         F.lit(0)).cast("long")
+                              .alias(f"sum_{c}") for c in sums],
+                            "op", "lsn"))
+        view_types = self.table.schema()
+        dels = net_changes.where(F.col("op") == "D").select(
+            F.col(vkey),
+            *[F.lit(None).cast(view_types[c].dataType).alias(c)
+              for c in payload + aggs],
+            "op", "lsn")
+        return self.table.merge_apply(enriched.unionByName(dels),
+                                      batch_id=batch_id)
+
+
 class AggRollupView:
     """An incrementally-maintained GROUP-BY rollup over the CDC'd table —
     classic retraction-based incremental view maintenance (count/sum are

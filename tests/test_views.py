@@ -720,3 +720,130 @@ def test_agg_rollup_correct_mid_spec_migration(spark, tmp_work):
     assert table.refresh().next_n_buckets in (None, 32)
     assert_state_equal(_rollup_state(view), _expected_rollup(base, log_dir),
                        ROLLUP_COLS)
+
+
+# ---------------------------------------------------- ChildAggView
+
+CHILD_AGG_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("src_kind", T.StringType()),
+    T.StructField("src_weight_e2", T.IntegerType()),
+    T.StructField("n_child", T.LongType()),
+    T.StructField("sum_n_tok", T.LongType()),
+])
+CHILD_AGG_COLS = [f.name for f in CHILD_AGG_SCHEMA]
+PARENT_ROWS = [("web", "crawl", 50), ("books", "curated", 100),
+               ("code", "curated", 80), ("wiki", "curated", 100),
+               ("forums", "crawl", 30)]
+PARENT_DDL = "source string, src_kind string, src_weight_e2 int"
+
+
+def _child_agg_setup(spark, tmp_work, spec, parents=PARENT_ROWS, n_base=300):
+    from canal_spark.views import ChildAggView
+
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    pdf = spark.createDataFrame(parents, PARENT_DDL)
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "child_agg"),
+                          CHILD_AGG_SCHEMA, key_col="source", n_buckets=4)
+    view = ChildAggView(vt, table, "source", ("n_tok",))
+    vt.overwrite(view.seed_frame(pdf, bdf), batch_id="seed")
+    return base, log_dir, table, view, pdf
+
+
+def _expected_child_agg(base, log_dir, parents=PARENT_ROWS):
+    """Recompute-from-scratch twin: parents left-joined to a GROUP BY over
+    the sequential oracle's final state (absent groups → zeros)."""
+    expected, _cols = oracle_final_state(base, log_dir)
+    agg = {}
+    for row in expected.values():
+        g = row.get("source")
+        if g is None:
+            continue
+        a = agg.setdefault(g, [0, 0])
+        a[0] += 1
+        a[1] += row.get("n_tok") or 0
+    return {p[0]: {"source": p[0], "src_kind": p[1], "src_weight_e2": p[2],
+                   "n_child": agg.get(p[0], [0, 0])[0],
+                   "sum_n_tok": agg.get(p[0], [0, 0])[1]}
+            for p in parents}
+
+
+def _child_agg_state(view):
+    return {r["source"]: {c: r[c] for c in CHILD_AGG_COLS}
+            for r in view.table.refresh().read().collect()}
+
+
+def test_child_agg_view_matches_recompute(spark, tmp_work):
+    """Child churn (inserts, fk-CHANGING updates, deletes, pk-changes,
+    DDL-split ranges) keeps every parent's child aggregates equal to a
+    recompute over the final child state; parent payload rides unchanged."""
+    ddl = [(1500, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=3000, seed=85, events_per_file=1000,
+                      pk_change_frac=0.05, ddl_script=ddl)
+    base, log_dir, table, view, _ = _child_agg_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+    assert_state_equal(_child_agg_state(view),
+                       _expected_child_agg(base, log_dir), CHILD_AGG_COLS)
+
+
+def test_child_agg_view_skips_absent_parents(spark, tmp_work):
+    """Children whose fk has no parent row update nothing (the reference
+    updates EXISTING documents only), and the known parents still match."""
+    three = PARENT_ROWS[:3]
+    spec = CdcLogSpec(n_events=2000, seed=86, events_per_file=500)
+    base, log_dir, table, view, _ = _child_agg_setup(
+        spark, tmp_work, spec, parents=three)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+    st = _child_agg_state(view)
+    assert set(st) == {p[0] for p in three}
+    assert_state_equal(st, _expected_child_agg(base, log_dir, three),
+                       CHILD_AGG_COLS)
+
+
+def test_child_agg_view_idempotent_redelivery(spark, tmp_work):
+    """Un-ledgered full-log redelivery: every batch row loses the fence
+    against the child's parent snapshot → zero deltas → the view holds."""
+    spec = CdcLogSpec(n_events=2000, seed=87, events_per_file=500)
+    base, log_dir, table, view, _ = _child_agg_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _child_agg_state(view)
+    assert_state_equal(before, _expected_child_agg(base, log_dir),
+                       CHILD_AGG_COLS)
+    replay(spark, log_dir, table.refresh(), views=[view])  # no ledger
+    assert _child_agg_state(view) == before
+
+
+def test_child_agg_parent_changes(spark, tmp_work):
+    """Parent-stream direction: a payload update carries the current
+    aggregates; a parent NEW to the view seeds its aggregates from the
+    child table; a parent delete tombstones the view row."""
+    three = PARENT_ROWS[:3]        # web, books, code — wiki/forums absent
+    spec = CdcLogSpec(n_events=2000, seed=88, events_per_file=500)
+    base, log_dir, table, view, _ = _child_agg_setup(
+        spark, tmp_work, spec, parents=three)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+    exp_all = _expected_child_agg(base, log_dir)
+
+    pchg = spark.createDataFrame(
+        [("web", "crawl-v2", 55, "U", "p-001"),       # payload refresh
+         ("wiki", "curated", 100, "U", "p-002"),      # NEW parent: seed aggs
+         ("code", None, None, "D", "p-003")],         # parent delete
+        "source string, src_kind string, src_weight_e2 int, "
+        "op string, lsn string")
+    view.apply_parent_changes(pchg, batch_id="p1")
+
+    st = _child_agg_state(view)
+    assert "code" not in st
+    assert st["web"]["src_kind"] == "crawl-v2"
+    assert st["web"]["src_weight_e2"] == 55
+    # aggregates carried through the payload refresh
+    assert st["web"]["n_child"] == exp_all["web"]["n_child"]
+    assert st["web"]["sum_n_tok"] == exp_all["web"]["sum_n_tok"]
+    # the new parent seeded its aggregates from the child table
+    assert st["wiki"]["n_child"] == exp_all["wiki"]["n_child"]
+    assert st["wiki"]["sum_n_tok"] == exp_all["wiki"]["sum_n_tok"]
