@@ -530,53 +530,146 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
 
 def connected_component_labels(pairs: DataFrame, id_a: str = "id_a",
                                id_b: str = "id_b",
-                               max_iter: int = 20) -> DataFrame:
+                               max_iter: int = 20,
+                               algo: str = "minlabel") -> DataFrame:
     """(id, lbl) for every id in ``pairs``; lbl = the component's min id.
-    Min-label propagation to a fixpoint — one join + one aggregate per
-    round, one metadata-sized count for the convergence check. The
-    returned frame is localCheckpoint'ed (pairs-sized), cutting the loop
-    lineage and releasing the iteration caches."""
+
+    ``algo="minlabel"`` (default): min-label propagation to a fixpoint —
+    one join + one aggregate per round, converging in O(component
+    diameter) rounds. LSH near-dup components are near-cliques (diameter
+    2-4), so this is the right default for the dedup family.
+
+    ``algo="star"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log² n) rounds regardless of diameter, the
+    scale path for adversarially CHAIN-shaped graphs (crawl mirror chains)
+    where min-label would need diameter rounds (VERDICT r03 next #5). Same
+    output contract, pinned equal by tests on both shapes.
+
+    Either way the returned frame is localCheckpoint'ed (pairs-sized),
+    cutting the loop lineage and releasing the iteration caches; a
+    non-converged loop raises loudly rather than returning silently-split
+    components."""
+    if algo == "star":
+        return _cc_star_labels(pairs, id_a, id_b, max_iter)
     edges = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     # persist the (tiny, pairs-sized) edge set ONCE: every propagation
     # round joins it, and without the cache each round would recompute the
     # caller's whole candidate-pair pipeline
     edges = edges.unionAll(edges.select(F.col("d").alias("s"),
                                         F.col("s").alias("d"))).persist()
+    # per-round labels are localCheckpoint'ed (eager), NOT just persisted:
+    # each round's plan references the previous labels twice (neighbor join
+    # + carry join), so an un-cut lineage DOUBLES per round and OOMs the
+    # driver's plan analysis once rounds reach the teens (observed on a
+    # deep-path graph); checkpointing truncates the plan to a block scan
     labels = (edges.select(F.col("s").alias("id")).distinct()
-              .withColumn("lbl", F.col("id")).persist())
-    prev = None
+              .withColumn("lbl", F.col("id")).localCheckpoint(eager=True))
     changed = -1
+    # try/finally: a Spark action failing mid-loop (executor loss, OOM)
+    # must not leak the persisted edge blocks for the life of a long
+    # stream (ADVICE r03 #4)
+    try:
+        for _ in range(max_iter):
+            nbr = (edges.join(labels, edges["d"] == labels["id"])
+                   .groupBy("s").agg(F.min("lbl").alias("nlbl")))
+            new = (labels.join(nbr, labels["id"] == nbr["s"], "left")
+                   .select(labels["id"],
+                           F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+                   .localCheckpoint(eager=True))
+            changed = (new.alias("n")
+                       .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                       .where(F.col("n.lbl") != F.col("o.lbl")).count())
+            labels = new
+            if changed == 0:
+                break
+        if changed != 0:
+            # never return silently-split components (a >max_iter-radius
+            # chain would diverge from the exact recursive-closure oracle
+            # with no signal) — fail loudly; callers raise max_iter or
+            # switch to algo="star" for pathological chain graphs
+            raise RuntimeError(
+                f"connected_component_labels did not converge in {max_iter} "
+                f"rounds ({changed} labels still moving); raise max_iter or "
+                f"use algo='star'")
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def _cc_star_labels(pairs: DataFrame, id_a: str, id_b: str,
+                    max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Edge set kept UNDIRECTED-normalized as (l, g) with l < g. Per round:
+
+    - **large-star**: every node u connects its strictly-larger neighbors
+      to m(u) = min(Γ(u) ∪ {u}) — emitted from both adjacency directions,
+      re-normalized, deduped;
+    - **small-star**: over parent pointers (g → l), every node g connects
+      its smaller neighbors AND itself to m(g) = min of those neighbors.
+
+    Both steps are a groupBy-min + join — the same shuffle shape as one
+    min-label round — but the edge set contracts toward stars in O(log² n)
+    rounds on any graph (each round at least halves tree heights), where
+    min-label needs O(diameter). Convergence = the normalized edge set is
+    a fixpoint (one full-outer-join count per round, metadata-sized
+    result); the final set is a union of stars rooted at component minima,
+    so labels read directly off the edges."""
+    # each round's edge set is localCheckpoint'ed (eager): the loop body
+    # references the previous set several times, so plain persist() keeps a
+    # lineage that DOUBLES per round and OOMs the driver's plan analysis
+    # after ~14 rounds (observed on the 10k-path test); checkpointing cuts
+    # the plan to a scan of the materialized blocks
+    e = (pairs.select(F.least(id_a, id_b).alias("l"),
+                      F.greatest(id_a, id_b).alias("g"))
+         .where(F.col("l") != F.col("g")).distinct()
+         .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
-        nbr = (edges.join(labels, edges["d"] == labels["id"])
-               .groupBy("s").agg(F.min("lbl").alias("nlbl")))
-        new = (labels.join(nbr, labels["id"] == nbr["s"], "left")
-               .select(labels["id"],
-                       F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
-               .persist())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
-        if prev is not None:
-            prev.unpersist()
-        prev, labels = labels, new
-        if changed == 0:
+        # large-star over both adjacency directions
+        both = e.select(F.col("l").alias("u"), F.col("g").alias("v")) \
+            .unionAll(e.select(F.col("g").alias("u"),
+                               F.col("l").alias("v")))
+        mins = (both.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        large = (both.join(mins, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.least("v", "m").alias("l"),
+                         F.greatest("v", "m").alias("g"))
+                 .where(F.col("l") != F.col("g")).distinct())
+        # small-star over parent pointers g -> l (l < g by invariant):
+        # m(g) = min smaller-neighbor; connect every smaller neighbor
+        # and g itself to it
+        mins2 = large.groupBy("g").agg(F.min("l").alias("m"))
+        j = large.join(mins2, "g")
+        small = (
+            j.select(F.least("l", "m").alias("l"),
+                     F.greatest("l", "m").alias("g"))
+            .unionAll(j.select(F.col("m").alias("l"), "g").distinct())
+            .where(F.col("l") != F.col("g")).distinct()
+            .localCheckpoint(eager=True))
+        # fixpoint check: symmetric difference empty (ONE count action)
+        diff = (e.withColumn("_a", F.lit(1))
+                .join(small.withColumn("_b", F.lit(1)), ["l", "g"],
+                      "full_outer")
+                .where(F.col("_a").isNull() | F.col("_b").isNull())
+                .count())
+        e = small
+        if diff == 0:
+            converged = True
             break
-    if changed != 0:
-        # never return silently-split components (a >max_iter-radius chain
-        # would diverge from the exact recursive-closure oracle with no
-        # signal) — fail loudly; callers raise max_iter for pathological
-        # chain graphs
-        for c in (edges, prev, labels):
-            if c is not None:
-                c.unpersist()
+    if not converged:
         raise RuntimeError(
-            f"connected_component_labels did not converge in {max_iter} "
-            f"rounds ({changed} labels still moving); raise max_iter")
-    out = labels.localCheckpoint(eager=True)
-    for c in (edges, prev, labels):
-        if c is not None:
-            c.unpersist()
-    return out
+            f"star connected components did not converge in {max_iter} "
+            f"rounds; raise max_iter")
+    # stars rooted at component minima: non-roots are the g side with
+    # their unique l partner; roots label themselves
+    labels = (e.select(F.col("g").alias("id"), F.col("l").alias("lbl"))
+              .unionAll(e.select(F.col("l").alias("id"),
+                                 F.col("l").alias("lbl")))
+              .groupBy("id").agg(F.min("lbl").alias("lbl")))
+    return labels.localCheckpoint(eager=True)
 
 
 def _cc_closure_cte(pairs_sql: str) -> str:
