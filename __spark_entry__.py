@@ -541,15 +541,18 @@ def _run_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dlq_oracle_sql() -> str:
+    # mirrors screen_wire_events' classification ORDER (payload shape
+    # before no_pk) and its raw = coalesce(after, before) — a poison event
+    # with no after-image keeps the before-image as evidence (ADVICE r03 #2)
     rows = []
-    for et, _b, a, _pb, pa in _DLQ_POISON:
+    for et, b, a, _pb, pa in _DLQ_POISON:
         op = "U"
-        if pa is None and a is not None and '"doc_id"' not in a:
-            rows.append((None, op, "no_pk", a))
-        elif a is None:
-            rows.append((pa, op, "missing_payload", None))
-        else:
+        if a is None:
+            rows.append((pa, op, "missing_payload", b))
+        elif not a.rstrip().endswith("}"):
             rows.append((pa, op, "corrupt_payload", a))
+        else:
+            rows.append((None, op, "no_pk", a))
     vals = ", ".join(
         "(" + ", ".join("NULL" if v is None else "'" + v.replace("'", "''") + "'"
                         for v in r) + ")"

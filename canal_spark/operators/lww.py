@@ -200,17 +200,22 @@ def screen_wire_events(events: DataFrame, key: str):
         F.col("after"),
         T.StructType([T.StructField("_corrupt_rec", T.StringType())]),
         {**_JSON_OPTS, "columnNameOfCorruptRecord": "_corrupt_rec"})
+    # classification order matters (ADVICE r03 #2): a corrupt upsert
+    # payload also fails the key probe, so testing no_pk first would
+    # mislabel it — probe the payload shape BEFORE concluding no_pk
     reason = (
-        F.when(rkey.isNull(), F.lit("no_pk"))
-        .when(~is_del & F.col("after").isNull(), F.lit("missing_payload"))
+        F.when(~is_del & F.col("after").isNull(), F.lit("missing_payload"))
         .when(~is_del & probe.getItem("_corrupt_rec").isNotNull(),
-              F.lit("corrupt_payload")))
+              F.lit("corrupt_payload"))
+        .when(rkey.isNull(), F.lit("no_pk")))
     bad = dml.where(reason.isNotNull()).select(
         rkey.alias("key"),
         F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
         F.col("lsn"),
         reason.alias("reason"),
-        F.col("after").alias("raw"),
+        # a poison DELETE has no after-image; keep the before-image so the
+        # evidence still identifies the row (ADVICE r03 #2)
+        F.coalesce(F.col("after"), F.col("before")).alias("raw"),
     )
     return dml.where(reason.isNull()), bad
 

@@ -91,10 +91,15 @@ def _write_dlq(bad: DataFrame, dlq: str, batch_id: str | None) -> int:
     ledgered range rewrite the same rows — never append duplicates; an
     un-ledgered manual replay gets a unique adhoc directory (duplicates
     possible there, exactly like its at-least-once merge semantics)."""
+    import hashlib
     import re
     import uuid
 
+    # sanitization alone is NOT injective ('e1_r0' and 'e1/r0' both map to
+    # 'e1_r0', so one range's evidence would overwrite another's — ADVICE
+    # r03 #3); a short hash of the ORIGINAL id keeps directories distinct
     sub = (f"batch-{re.sub(r'[^A-Za-z0-9._-]', '_', batch_id)}"
+           f"-{hashlib.md5(batch_id.encode()).hexdigest()[:8]}"
            if batch_id else f"adhoc-{uuid.uuid4().hex[:12]}")
     bad = bad.withColumn("batch_id", F.lit(batch_id or ""))
     bad = bad.persist()
@@ -190,7 +195,10 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
     if not views:
         res = table.merge_apply(net, batch_id=batch_id, max_lsn=hi)
         if dlq is not None:
-            res["quarantined"] = n_bad
+            # a ledger-skipped redelivery applied nothing: report 0 so
+            # cumulative metrics never double-count the same quarantined
+            # rows (the DLQ files themselves are idempotent) — ADVICE r03 #5
+            res["quarantined"] = 0 if res.get("skipped") else n_bad
         return res
     net = net.persist()
     try:
@@ -200,7 +208,10 @@ def apply_dml_range(events: DataFrame, table: LakeTable,
                     batch_id=None if batch_id is None else f"{batch_id}/v{i}",
                     max_lsn=hi)
         if dlq is not None:
-            res["quarantined"] = n_bad
+            # a ledger-skipped redelivery applied nothing: report 0 so
+            # cumulative metrics never double-count the same quarantined
+            # rows (the DLQ files themselves are idempotent) — ADVICE r03 #5
+            res["quarantined"] = 0 if res.get("skipped") else n_bad
         return res
     finally:
         net.unpersist()

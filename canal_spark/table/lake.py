@@ -1110,8 +1110,17 @@ class LakeTable:
             # the average bucket back under target, capped at 4× per
             # migration (one migration should not buy an arbitrarily large
             # total rewrite).
-            total = sum(st[2] for st in self.snap.get("file_stats", {}).values()
-                        if st and len(st) > 2)
+            # BASE-file rows only: merge-on-read delta files duplicate base
+            # rows they override, so counting them would overstate live
+            # rows and start a migration (or pick a wider factor) on a
+            # table actually under target (ADVICE r03 #1). Tombstone rows
+            # still count — like describe(), we accept that small overcount
+            # (they purge at compaction) rather than scan data here.
+            delta_files = {f for fs in self.snap.get("deltas", {}).values()
+                           for f in fs}
+            total = sum(st[2] for name, st
+                        in self.snap.get("file_stats", {}).items()
+                        if st and len(st) > 2 and name not in delta_files)
             want = -(-total // target_rows_per_bucket) if total else 0
             if want > self.n_buckets:
                 factor = -(-want // self.n_buckets)

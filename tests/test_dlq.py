@@ -217,3 +217,64 @@ def test_dlq_redelivery_does_not_duplicate(spark, tmp_work):
                               dlq=dlq)
     assert read_dlq(spark, dlq).count() == 1
     assert {r["doc_id"]: r["tokens"] for r in t.read().collect()}["a"] == [9]
+
+
+def test_dlq_redelivery_reports_zero_quarantined(spark, tmp_work):
+    """A ledger-skipped redelivery applied nothing, so its metrics row must
+    report quarantined=0 — summing per-epoch counts would otherwise count
+    the same poison rows on every redelivery (ADVICE r03 #5). The DLQ files
+    themselves stay idempotent (same range dir, mode=overwrite)."""
+    df = spark.createDataFrame(BASE, SCHEMA)
+    t = LakeTable.create(spark, os.path.join(tmp_work, "t"), SCHEMA,
+                         n_buckets=4, df=df)
+    dlq = os.path.join(tmp_work, "dlq")
+    ev = _wire_events(spark, [
+        ("INSERT", "lsn-04", None, '{"n_tok":5}', None, None),
+        ("UPDATE", "lsn-05", '{"doc_id":"a"}',
+         '{"doc_id":"a","tokens":[8],"n_tok":1,"source":"web"}', "a", "a"),
+    ])
+    r1 = apply_dml_range(ev, t, None, None, batch_id="b1", wire=True, dlq=dlq)
+    assert r1["quarantined"] == 1
+    r2 = apply_dml_range(ev, t.refresh(), None, None, batch_id="b1",
+                         wire=True, dlq=dlq)
+    assert r2.get("skipped") and r2["quarantined"] == 0
+    assert read_dlq(spark, dlq).count() == 1
+
+
+def test_dlq_batch_dirs_injective(spark, tmp_work):
+    """Two distinct batch ids that sanitize to the same string must land in
+    DISTINCT DLQ directories — overwrite must never replace another range's
+    evidence (ADVICE r03 #3)."""
+    df = spark.createDataFrame(BASE, SCHEMA)
+    t = LakeTable.create(spark, os.path.join(tmp_work, "t"), SCHEMA,
+                         n_buckets=4, df=df)
+    dlq = os.path.join(tmp_work, "dlq")
+    ev1 = _wire_events(spark, [("INSERT", "lsn-04", None, '{"n_tok":5}',
+                                None, None)])
+    ev2 = _wire_events(spark, [("INSERT", "lsn-06", None, '{"n_tok":7}',
+                                None, None)])
+    apply_dml_range(ev1, t, None, None, batch_id="e1_r0", wire=True, dlq=dlq)
+    apply_dml_range(ev2, t.refresh(), None, None, batch_id="e1/r0",
+                    wire=True, dlq=dlq)
+    assert len(os.listdir(dlq)) == 2
+    assert read_dlq(spark, dlq).count() == 2
+
+
+def test_dlq_poison_delete_keeps_before_image(spark, tmp_work):
+    """A poison DELETE has no after-image; the evidence row keeps the
+    BEFORE-image so the operator can still identify the row (ADVICE r03
+    #2)."""
+    df = spark.createDataFrame(BASE, SCHEMA)
+    t = LakeTable.create(spark, os.path.join(tmp_work, "t"), SCHEMA,
+                         n_buckets=4, df=df)
+    dlq = os.path.join(tmp_work, "dlq")
+    # DELETE with a before-image that carries no pk and no native pk cols
+    ev = _wire_events(spark, [
+        ("DELETE", "lsn-09", '{"n_tok":3,"source":"books"}', None,
+         None, None),
+    ])
+    apply_dml_range(ev, t, None, None, batch_id="bd", wire=True, dlq=dlq)
+    rows = read_dlq(spark, dlq).collect()
+    assert len(rows) == 1
+    assert rows[0]["reason"] == "no_pk" and rows[0]["op"] == "D"
+    assert rows[0]["raw"] == '{"n_tok":3,"source":"books"}'
