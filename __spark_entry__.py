@@ -740,6 +740,102 @@ def _agg_rollup_oracle_sql() -> str:
             f"FROM read_parquet('{p}') GROUP BY source")
 
 
+MJ_VIEW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("src_kind", T.StringType()),
+    T.StructField("src_weight_e2", T.IntegerType()),
+    T.StructField("ntok_band", T.StringType()),
+])
+_MJ_BAND_N = 65536  # dim2 domain: n_tok values 0..N-1 → parity band
+
+
+def _run_multi_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table maintained view (MultiJoinedView — the ES adapter's
+    multi-dim document mapping, client-adapter/escore/.../ESSyncService
+    .java:699-812): each net change enriches through TWO broadcast dims
+    (source → kind/weight, n_tok → parity band) in one pass and MERGEs into
+    the view inside the same replay. Returns the view's final state."""
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_documents
+    from canal_spark.pipeline import replay
+    from canal_spark.table.lake import LakeTable
+    from canal_spark.views import MultiJoinedView
+
+    work = os.path.join(_WORK, "q_multi_join")
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "binlog")
+    base_path = os.path.join(work, "base_parquet")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokenize_documents(docs).write.mode("overwrite").parquet(base_path)
+    base = pq.read_table(base_path).sort_by("doc_id")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=53), base=base)
+    base_df = spark.read.schema(BASE_SCHEMA).parquet(base_path)
+    table = LakeTable.create(spark, os.path.join(work, "tokseq"), BASE_SCHEMA,
+                             key_col="doc_id", n_buckets=8, df=base_df)
+    dim1 = spark.createDataFrame(_VIEW_DIM_ROWS, _VIEW_DIM_DDL)
+    dim2 = spark.range(_MJ_BAND_N).select(
+        F.col("id").cast("int").alias("n_tok"),
+        F.when(F.col("id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd")).alias("ntok_band"))
+    seeded = (base_df.select("doc_id", "n_tok", "source")
+              .join(F.broadcast(dim1), "source", "left")
+              .join(F.broadcast(dim2), "n_tok", "left"))
+    vt = LakeTable.create(spark, os.path.join(work, "mjview"),
+                          MJ_VIEW_SCHEMA, key_col="doc_id", n_buckets=8,
+                          df=seeded.select(*[f.name for f in MJ_VIEW_SCHEMA]))
+    view = MultiJoinedView(vt, [(dim1, "source"), (dim2, "n_tok")])
+    replay(spark, log_dir, table.refresh(), views=[view])
+    return vt.refresh().read().select(*[f.name for f in MJ_VIEW_SCHEMA])
+
+
+def _multi_join_oracle_sql() -> str:
+    """DuckDB twin of ``cdc_multi_join_view``: sequential python fold joined
+    (in python) against both dim functions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from canal_spark.fixtures.generator import generate_cdc_log
+    from canal_spark.functions.tokenize import tokenize_table
+    from canal_spark.oracle import oracle_final_state
+
+    work = os.path.join(_WORK, "oracle_multi_join")
+    shutil.rmtree(work, ignore_errors=True)
+    base = tokenize_table(pq.read_table(
+        os.path.join(_oracle_sf_dir(), "documents.parquet"))).sort_by("doc_id")
+    log_dir = os.path.join(work, "binlog")
+    generate_cdc_log(log_dir, _replay_spec(n_events=1500, seed=53), base=base)
+    state, _cols = oracle_final_state(base, log_dir)
+    d1 = {r[0]: (r[1], r[2]) for r in _VIEW_DIM_ROWS}
+
+    def band(nt):
+        if nt is None or not (0 <= int(nt) < _MJ_BAND_N):
+            return None
+        return "even" if int(nt) % 2 == 0 else "odd"
+
+    rows = sorted(state.values(), key=lambda r: r["doc_id"])
+    kinds = [d1.get(r.get("source"), (None, None)) for r in rows]
+    data = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "n_tok": pa.array(
+            [None if r.get("n_tok") is None else int(r["n_tok"])
+             for r in rows], pa.int32()),
+        "source": pa.array([r.get("source") for r in rows], pa.string()),
+        "src_kind": pa.array([k[0] for k in kinds], pa.string()),
+        "src_weight_e2": pa.array(
+            [None if k[1] is None else int(k[1]) for k in kinds], pa.int32()),
+        "ntok_band": pa.array([band(r.get("n_tok")) for r in rows],
+                              pa.string()),
+    }
+    os.makedirs(work, exist_ok=True)
+    p = os.path.join(work, "expected.parquet")
+    pq.write_table(pa.table(data), p)
+    return f"SELECT * FROM read_parquet('{p}')"
+
+
 CHILD_AGG_SCHEMA = T.StructType([
     T.StructField("source", T.StringType()),
     T.StructField("src_kind", T.StringType()),
@@ -1639,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_fingerprint_index"] = _run_fingerprint_index
     q["cdc_agg_rollup"] = _run_agg_rollup
     q["cdc_child_agg_view"] = _run_child_agg_view
+    q["cdc_multi_join_view"] = _run_multi_join_view
     q["cdc_minhash_index"] = _run_minhash_index
     q["cdc_pack_index"] = _run_pack_index
     q["cdc_dedup_sweep"] = _run_dedup_sweep
@@ -1924,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         o["cdc_fingerprint_index"] = _fingerprint_index_oracle_sql()
         o["cdc_agg_rollup"] = _agg_rollup_oracle_sql()
         o["cdc_child_agg_view"] = _child_agg_oracle_sql()
+        o["cdc_multi_join_view"] = _multi_join_oracle_sql()
         o["cdc_minhash_index"] = _minhash_index_oracle_sql()
         o["cdc_pack_index"] = _pack_index_oracle_sql()
         o["cdc_dedup_sweep"] = _dedup_sweep_oracle_sql()

@@ -918,3 +918,119 @@ def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
         new_dim, changed_keys=spark.createDataFrame([("gZZZ",)],
                                                     "grp string"))
     assert r == {"skipped": False, "refreshed": 0}
+
+
+# ---------------------------------------------------- MultiJoinedView
+
+MJ_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("src_kind", T.StringType()),
+    T.StructField("src_weight", T.DoubleType()),
+    T.StructField("ntok_band", T.StringType()),
+])
+MJ_COLS = [f.name for f in MJ_SCHEMA]
+BAND_ROWS = [(i, "even" if i % 2 == 0 else "odd") for i in range(256)]
+
+
+def _mj_setup(spark, tmp_work, spec, n_base=300):
+    from canal_spark.views import MultiJoinedView
+
+    base = generate_base_table(n_base, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf)
+    dim1 = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+    dim2 = spark.createDataFrame(BAND_ROWS, "n_tok int, ntok_band string")
+    seeded = (bdf.select("doc_id", "n_tok", "source")
+              .join(F.broadcast(dim1), "source", "left")
+              .join(F.broadcast(dim2), "n_tok", "left"))
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "mjview"), MJ_SCHEMA,
+                          n_buckets=8, df=seeded.select(*MJ_COLS))
+    return base, log_dir, table, MultiJoinedView(
+        vt, [(dim1, "source"), (dim2, "n_tok")])
+
+
+def _expected_mj(base, log_dir, dim_rows=DIM_ROWS, band_rows=BAND_ROWS):
+    expected, _cols = oracle_final_state(base, log_dir)
+    d1 = {r[0]: (r[1], r[2]) for r in dim_rows}
+    d2 = dict(band_rows)
+    out = {}
+    for doc_id, row in expected.items():
+        src, nt = row.get("source"), row.get("n_tok")
+        kind, weight = d1.get(src, (None, None))
+        out[doc_id] = {"doc_id": doc_id, "n_tok": nt, "source": src,
+                       "src_kind": kind, "src_weight": weight,
+                       "ntok_band": d2.get(nt)}
+    return out
+
+
+def _mj_state(view):
+    return {r["doc_id"]: r.asDict()
+            for r in view.table.refresh().read().collect()}
+
+
+def test_multi_joined_view_matches_recompute(spark, tmp_work):
+    """main ⨝ dim1 ⨝ dim2 maintained under CDC == join-from-scratch of the
+    final state (the ES multi-table mapping, ESSyncService.java:699-812) —
+    across inserts/updates/deletes/pk-changes and DDL-split ranges."""
+    ddl = [(1500, "ALTER TABLE train.tokseq ADD COLUMN lang varchar")]
+    spec = CdcLogSpec(n_events=3000, seed=46, events_per_file=1000,
+                      pk_change_frac=0.05, ddl_script=ddl)
+    base, log_dir, table, view = _mj_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+    assert_state_equal(_mj_state(view), _expected_mj(base, log_dir), MJ_COLS)
+
+
+def test_multi_joined_view_idempotent_redelivery(spark, tmp_work):
+    spec = CdcLogSpec(n_events=1500, seed=47, events_per_file=500)
+    base, log_dir, table, view = _mj_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    before = _mj_state(view)
+    assert_state_equal(before, _expected_mj(base, log_dir), MJ_COLS)
+    replay(spark, log_dir, table, views=[view])  # no ledger: fence only
+    assert _mj_state(view) == before
+
+
+def test_multi_joined_view_dim_refresh_either_dim(spark, tmp_work):
+    """Changing EITHER dim re-enriches exactly the rows joining the
+    changed keys, through ALL dims (whole-SQL re-query, row-scoped); the
+    second dim's refresh is bucket-pruned by its own posting map."""
+    spec = CdcLogSpec(n_events=1500, seed=48)
+    base, log_dir, table, view = _mj_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+
+    # dim1 change: 'web' payload updated
+    new1 = [("web", "crawl-v2", 0.7) if r[0] == "web" else r
+            for r in DIM_ROWS]
+    view.apply_dim_changes(
+        0, spark.createDataFrame(new1, DIM_SCHEMA),
+        changed_keys=spark.createDataFrame([("web",)], "source string"),
+        batch_id="d1")
+    assert_state_equal(_mj_state(view),
+                       _expected_mj(base, log_dir, dim_rows=new1), MJ_COLS)
+
+    # dim2 change: one n_tok band relabeled — posting map prunes buckets
+    new2 = [(i, "EVEN!" if i == 10 else b) for i, b in BAND_ROWS]
+    r = view.apply_dim_changes(
+        1, spark.createDataFrame(new2, "n_tok int, ntok_band string"),
+        changed_keys=spark.createDataFrame([(10,)], "n_tok int"),
+        batch_id="d2")
+    assert_state_equal(
+        _mj_state(view),
+        _expected_mj(base, log_dir, dim_rows=new1, band_rows=new2), MJ_COLS)
+    # the n_tok posting map was bootstrapped by the refresh and is
+    # bucket-sparse (each n_tok value's docs land in a few buckets)
+    postings = view.table.refresh().snap["dim_postings:n_tok"]
+    nb = view.table.n_buckets
+    assert postings and all(0 < len(v) <= nb for v in postings.values())
+    # a changed key with no view rows skips the scan entirely (the
+    # generator never emits n_tok=255; BAND_ROWS still lists it)
+    assert "255" not in postings
+    r = view.apply_dim_changes(
+        1, spark.createDataFrame(new2, "n_tok int, ntok_band string"),
+        changed_keys=spark.createDataFrame([(255,)], "n_tok int"))
+    assert r == {"skipped": False, "refreshed": 0}
