@@ -219,6 +219,47 @@ def main() -> int:
     checks.append(("wire_screen_dlq: corrupt-record probe present",
                    "_corrupt_rec" in bad_plan, bad_plan))
 
+    # 13. multi-dim view enrich (round 4): every dim joins as a broadcast
+    # hash join and the enrich path adds ZERO exchanges — N dims cost N
+    # broadcast probes, not N shuffles (views.MultiJoinedView.apply shape)
+    dim1 = spark.createDataFrame(
+        [("web", "crawl"), ("books", "curated")], "source string, kind string")
+    dim2 = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(64)],
+        "n_tok int, band string")
+    chg_mj = docs.select("doc_id", F.length("text").alias("n_tok"), "source")
+    enrich = (chg_mj.join(F.broadcast(dim1), "source", "left")
+              .join(F.broadcast(dim2), "n_tok", "left"))
+    mj_plan = plan_of(enrich)
+    out_lines.append(f"===== multi_join_enrich =====\n{mj_plan}\n")
+    checks.append(("multi_join_enrich: two BroadcastHashJoins",
+                   len(re.findall(r"BroadcastHashJoin", mj_plan)) == 2,
+                   mj_plan))
+    checks.append(("multi_join_enrich: zero shuffle exchanges",
+                   "Exchange hashpartitioning" not in mj_plan, mj_plan))
+
+    # 14. star-CC round (round 4): the large-star step is hash aggregates +
+    # joins partitioned on the node key — never an Exchange SinglePartition
+    # (a single-reducer round would serialize the whole graph per round)
+    pairs = docs.limit(200).select(
+        F.col("doc_id").alias("id_a"),
+        F.concat(F.lit("x"), F.col("doc_id")).alias("id_b"))
+    both = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")) \
+        .unionAll(pairs.select(F.col("id_b").alias("u"),
+                               F.col("id_a").alias("v")))
+    mins = (both.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m")))
+    large = (both.join(mins, "u").where(F.col("v") > F.col("u"))
+             .select(F.least("v", "m").alias("l"),
+                     F.greatest("v", "m").alias("g")).distinct())
+    star_plan = plan_of(large)
+    out_lines.append(f"===== star_cc_round =====\n{star_plan}\n")
+    checks.append(("star_cc_round: no single-partition exchange",
+                   "Exchange SinglePartition" not in star_plan, star_plan))
+    checks.append(("star_cc_round: partial+final min aggregate",
+                   re.search(r"(?s)partial_min.*Exchange", star_plan)
+                   is not None, star_plan))
+
     with open(os.path.join(_REPO, ".work", "explain_audit.txt"), "w") as f:
         f.write("\n".join(out_lines))
 
