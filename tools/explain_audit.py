@@ -232,8 +232,10 @@ def main() -> int:
               .join(F.broadcast(dim2), "n_tok", "left"))
     mj_plan = plan_of(enrich)
     out_lines.append(f"===== multi_join_enrich =====\n{mj_plan}\n")
+    # formatted plans list each operator in the tree AND the detail
+    # section — count the numbered detail entries
     checks.append(("multi_join_enrich: two BroadcastHashJoins",
-                   len(re.findall(r"BroadcastHashJoin", mj_plan)) == 2,
+                   len(re.findall(r"\(\d+\) BroadcastHashJoin", mj_plan)) == 2,
                    mj_plan))
     checks.append(("multi_join_enrich: zero shuffle exchanges",
                    "Exchange hashpartitioning" not in mj_plan, mj_plan))
