@@ -682,3 +682,68 @@ def test_fuzz_mirror_matches_oracle(spark, seed, n_events, n_base,
         check_all()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(60, 900),
+    n_base=st.integers(5, 120),
+    events_per_file=st.integers(40, 300),
+    pk_change_frac=st.sampled_from([0.0, 0.2]),
+    n_windows=st.integers(1, 4),
+    cadence_a=st.integers(1, 2),
+    cadence_b=st.integers(1, 4),
+    expire=st.booleans(),
+)
+def test_fuzz_consumer_groups(spark, seed, n_events, n_base, events_per_file,
+                              pk_change_frac, n_windows, cadence_a,
+                              cadence_b, expire):
+    """Property: any interleaving of delivery windows and two consumers'
+    poll cadences off one changelog feed converges BOTH consumers to the
+    sequential oracle's final state, and expiry (retention = slowest ack)
+    never drops feed a lagging consumer still needs."""
+    from canal_spark.streaming.relay import register_consumer, relay_until_idle
+
+    work = os.path.join(WORK, f"fuzz_cgrp_{next(_RUN)}")
+    shutil.rmtree(work, ignore_errors=True)
+    base = generate_base_table(n_base, seed=seed)
+    log_dir = os.path.join(work, "log")
+    generate_cdc_log(log_dir, CdcLogSpec(
+        n_events=n_events, seed=seed, events_per_file=events_per_file,
+        pk_change_frac=pk_change_frac), base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    primary = LakeTable.create(spark, os.path.join(work, "p"), TOKSEQ_SCHEMA,
+                               n_buckets=4, df=bdf, changelog=True)
+    ca = LakeTable.create(spark, os.path.join(work, "ca"), TOKSEQ_SCHEMA,
+                          n_buckets=4, df=bdf)
+    cb = LakeTable.create(spark, os.path.join(work, "cb"), TOKSEQ_SCHEMA,
+                          n_buckets=4, df=bdf)
+    register_consumer(primary, "a")
+    register_consumer(primary, "b")
+
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    per = max(1, len(segs) // n_windows)
+    windows = [segs[i:i + per] for i in range(0, len(segs), per)]
+    for i, win in enumerate(windows):
+        replay(spark, log_dir, primary.refresh(), files=win,
+               batch_id=f"w{i}")
+        if (i + 1) % cadence_a == 0:
+            relay_until_idle(primary.refresh(), ca, prefix="a", consumer="a",
+                             expire_acked=expire)
+        if (i + 1) % cadence_b == 0:
+            relay_until_idle(primary.refresh(), cb, prefix="b", consumer="b",
+                             expire_acked=expire)
+    # final drains
+    relay_until_idle(primary.refresh(), ca, prefix="a", consumer="a",
+                     expire_acked=expire)
+    relay_until_idle(primary.refresh(), cb, prefix="b", consumer="b",
+                     expire_acked=expire)
+
+    expected, cols = oracle_final_state(base, log_dir)
+    for t in (primary, ca, cb):
+        assert_state_equal(
+            rows_to_state(t.refresh().read().collect(), cols), expected, cols)
+    if expire:
+        assert primary.refresh().snap["changelog"] == {}

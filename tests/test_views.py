@@ -1034,3 +1034,22 @@ def test_multi_joined_view_dim_refresh_either_dim(spark, tmp_work):
         1, spark.createDataFrame(new2, "n_tok int, ntok_band string"),
         changed_keys=spark.createDataFrame([(255,)], "n_tok int"))
     assert r == {"skipped": False, "refreshed": 0}
+
+
+def test_child_agg_correct_mid_spec_migration(spark, tmp_work):
+    """Same bug class as the rollup's r03 regression: the retraction's
+    old-image read must route buckets via the CHILD's parent-snapshot
+    migration state. Replay chunks interleaved with rebucket steps on the
+    child table must land exactly on the recompute."""
+    spec = CdcLogSpec(n_events=2400, seed=89, events_per_file=300,
+                      pk_change_frac=0.05)
+    base, log_dir, table, view, _ = _child_agg_setup(spark, tmp_work, spec)
+    files = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    table.refresh().rebucket_start(32)
+    for i, f in enumerate(files):
+        replay(spark, log_dir, table.refresh(), files=[f],
+               batch_id=f"c{i}", views=[view])
+        table.refresh().rebucket_step(1)
+    assert table.refresh().next_n_buckets in (None, 32)
+    assert_state_equal(_child_agg_state(view),
+                       _expected_child_agg(base, log_dir), CHILD_AGG_COLS)
