@@ -356,3 +356,77 @@ def test_streaming_filtered_view_kill_resume(spark, tmp_work):
     got = {r["doc_id"]: (r["n_tok"], r["source"])
            for r in vt.refresh().read().collect()}
     assert got == exp
+
+
+def test_streaming_child_agg_and_consumers_kill_resume(spark, tmp_work):
+    """Round-4 integration: a streaming primary (changelog=True) with a
+    ChildAggView attached, TWO named consumers polling the feed between
+    micro-batches, a hard kill + checkpoint resume. Everything must
+    converge: main == oracle, per-parent child aggregates == recompute,
+    both consumers == main, feed freed past the slowest ack."""
+    from canal_spark.streaming.relay import register_consumer, relay_until_idle
+    from canal_spark.views import ChildAggView
+
+    spec = CdcLogSpec(n_events=2500, seed=29, events_per_file=400,
+                      pk_change_frac=0.03)
+    base, typed_dir, wire_dir, table = _setup(spark, tmp_work, spec,
+                                              changelog=True)
+    parents = [("web", 50), ("books", 100), ("code", 80),
+               ("wiki", 100), ("forums", 30)]
+    ca_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("weight_e2", T.IntegerType()),
+        T.StructField("n_child", T.LongType()),
+        T.StructField("sum_n_tok", T.LongType()),
+    ])
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    pdf = spark.createDataFrame(parents, "source string, weight_e2 int")
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "child_agg"),
+                          ca_schema, key_col="source", n_buckets=4)
+    view = ChildAggView(vt, table, "source", ("n_tok",))
+    vt.overwrite(view.seed_frame(pdf, bdf), batch_id="seed")
+    c1 = LakeTable.create(spark, os.path.join(tmp_work, "c1"), TOKSEQ_SCHEMA,
+                          n_buckets=8, df=bdf)
+    c2 = LakeTable.create(spark, os.path.join(tmp_work, "c2"), TOKSEQ_SCHEMA,
+                          n_buckets=8, df=bdf)
+    register_consumer(table, "c1")
+    register_consumer(table, "c2")
+
+    ckpt = os.path.join(tmp_work, "ckpt")
+    kw = dict(max_files_per_trigger=1, views=[view])
+    sr1 = StreamingReplay(spark, wire_dir, table, ckpt, **kw)
+    q = sr1.start(available_now=True)
+    while len(sr1.metrics.read()) < 3:
+        q.awaitTermination(0.2)
+    q.stop()  # hard kill mid-stream
+    # consumer 1 polls MID-stream (partial feed), with expiry
+    relay_until_idle(table.refresh(), c1, prefix="c1", consumer="c1",
+                     expire_acked=True)
+
+    sr2 = StreamingReplay(spark, wire_dir, table.refresh(), ckpt, **kw)
+    sr2.run_to_completion()
+    sr2.flush_tail()
+    _check(table.refresh(), base, typed_dir)
+
+    relay_until_idle(table.refresh(), c1, prefix="c1", consumer="c1",
+                     expire_acked=True)
+    relay_until_idle(table.refresh(), c2, prefix="c2", consumer="c2",
+                     expire_acked=True)
+    expected, cols = oracle_final_state(base, typed_dir)
+    for c in (c1, c2):
+        assert_state_equal(rows_to_state(c.refresh().read().collect(), cols),
+                           expected, cols)
+    assert table.refresh().snap["changelog"] == {}
+
+    # child aggregates == recompute over the oracle state
+    exp = {}
+    for row in expected.values():
+        g = row.get("source")
+        if g is None:
+            continue
+        a = exp.setdefault(g, [0, 0])
+        a[0] += 1
+        a[1] += row.get("n_tok") or 0
+    got = {r["source"]: [r["n_child"], r["sum_n_tok"]]
+           for r in vt.refresh().read().collect()}
+    assert got == {p[0]: exp.get(p[0], [0, 0]) for p in parents}
