@@ -85,16 +85,10 @@ def _consumers_dir(src: LakeTable) -> str:
 
 
 def consumer_acks(src: LakeTable) -> dict[str, int]:
-    """The source-side consumer registry: name → last acked feed version."""
-    d = _consumers_dir(src)
-    out: dict[str, int] = {}
-    if not os.path.isdir(d):
-        return out
-    for f in os.listdir(d):
-        if f.endswith(".json"):
-            with open(os.path.join(d, f)) as fh:
-                out[f[:-5]] = int(json.load(fh)["ack"])
-    return out
+    """The source-side consumer registry: name → last acked feed version
+    (reads ``{src}/consumers/*.json`` — shared with LakeTable.consumer_acks,
+    which expire_changelog and maintain() use as the retention floor)."""
+    return src.consumer_acks()
 
 
 def _write_consumer_ack(src: LakeTable, name: str, ack: int) -> None:
@@ -134,6 +128,22 @@ def _record_consumer_ack(src: LakeTable, name: str, head: int) -> None:
     cur = consumer_acks(src).get(name, 0)
     if cur < head:
         _write_consumer_ack(src, name, head)
+
+
+def feed_status(src: LakeTable) -> dict:
+    """Metadata-only feed observability (the reference's per-destination
+    cursor/lag gauges, prometheus/.../impl/*.java): head version, retained
+    feed window, and per-consumer ack + version lag."""
+    src.refresh()
+    retained = sorted(int(v) for v in src.snap.get("changelog", {}))
+    head = src.version
+    acks = consumer_acks(src)
+    return {
+        "head": head,
+        "retained_versions": retained,
+        "consumers": {name: {"ack": ack, "lag_versions": head - ack}
+                      for name, ack in sorted(acks.items())},
+    }
 
 
 def subscribe(src: LakeTable, dst: LakeTable, consumer: str) -> int:
@@ -252,14 +262,11 @@ def relay_step(src: LakeTable, dst: LakeTable,
     if consumer is not None:
         _record_consumer_ack(src, consumer, head)
     if expire_acked and not res.get("skipped"):
-        if consumer is not None:
-            # free only what EVERY registered consumer has passed — the
-            # slowest ack governs retention (the reference's ring buffer
-            # frees on the slowest client's ack position the same way)
-            floor = min(consumer_acks(src).values())
-        else:
-            floor = head
-        src.expire_changelog(upto_version=floor)
+        # expire_changelog itself clamps to the slowest REGISTERED ack —
+        # the slowest consumer governs retention (the reference's ring
+        # buffer frees on the slowest client's ack the same way); an
+        # unnamed single-consumer relay (no registry) frees its own head
+        src.expire_changelog(upto_version=head)
     return {"applied": not res.get("skipped", False), "ack": head,
             "head": head, **{k: v for k, v in res.items() if k != "skipped"}}
 

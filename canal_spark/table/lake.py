@@ -810,13 +810,40 @@ class LakeTable:
         return (self.spark.read.option("mergeSchema", "true")
                 .parquet(*paths))
 
-    def expire_changelog(self, upto_version: int) -> int:
+    def consumer_acks(self) -> dict[str, int]:
+        """Named consumer cursors on this table's feed: ``consumers/*.json``
+        beside the data (written by streaming/relay.py — OUTSIDE the
+        snapshot chain so an ack never looks like new upstream work to
+        other consumers). The reference's per-destination meta
+        (meta/.../FileMixedMetaManager.java)."""
+        d = os.path.join(self.path, "consumers")
+        out: dict[str, int] = {}
+        if not os.path.isdir(d):
+            return out
+        for f in os.listdir(d):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out[f[:-5]] = int(json.load(fh)["ack"])
+        return out
+
+    def expire_changelog(self, upto_version: int, force: bool = False) -> int:
         """Purge feed entries with version ≤ ``upto_version`` — call once
         every consumer's ack position has passed it. The ack-frees-the-
         buffer semantics of the reference's event store
         (store/.../MemoryEventStoreWithBuffer.java:463-519), applied to the
         on-disk feed so a long tail stays bounded like every other
-        maintenance surface."""
+        maintenance surface.
+
+        Guard: with named consumers registered, the expiry is CLAMPED to
+        the slowest registered ack — a direct call above it would drop feed
+        a lagging consumer still needs (silent data loss for that consumer,
+        visible only as a re-bootstrap). ``force=True`` overrides (operator
+        explicitly abandoning a dead consumer; pair with deleting its
+        cursor file)."""
+        if not force:
+            acks = self.consumer_acks()
+            if acks:
+                upto_version = min(upto_version, min(acks.values()))
         cl = dict(self.snap.get("changelog", {}))
         drop = [v for v in list(cl) if int(v) <= upto_version]
         for v in drop:
@@ -1136,9 +1163,20 @@ class LakeTable:
             if st["done"]:
                 rebucketed = self.n_buckets
         removed = self.expire_snapshots(keep_last=snapshots_keep)
+        # bound the changelog feed over a long tail: with named consumers
+        # registered, everything below the SLOWEST ack is consumed on every
+        # cursor and safe to free (expire_changelog clamps there anyway);
+        # with no registry there is no safe floor — an unknown consumer may
+        # still need v1 — so the feed is left to explicit relay expiry
+        feed_dropped = 0
+        if self.snap.get("changelog"):
+            acks = self.consumer_acks()
+            if acks:
+                feed_dropped = self.expire_changelog(min(acks.values()))
         return {"skipped": False, "compacted_buckets": frag,
                 "files_removed": removed, "rebucketed_to": rebucketed,
-                "migration_remaining": remaining}
+                "migration_remaining": remaining,
+                "feed_expired": feed_dropped}
 
     def describe(self) -> dict:
         """Operational table stats, METADATA-ONLY (no data scan, no Spark

@@ -435,3 +435,55 @@ def test_consumer_subscribe_joins_live_feed(spark, tmp_work):
     acks = consumer_acks(primary)
     assert set(acks) == {"veteran", "newcomer"}
     assert primary.refresh().snap["changelog"] == {}
+
+
+def test_expire_guard_protects_lagging_consumer(spark, tmp_work):
+    """A direct expire_changelog(head) with named consumers registered is
+    CLAMPED to the slowest ack — the operator cannot silently drop feed a
+    lagging consumer still needs; force=True overrides. maintain() bounds
+    the feed the same way, and feed_status reports per-consumer lag."""
+    from canal_spark.streaming.relay import (feed_status, register_consumer,
+                                             relay_until_idle)
+
+    spec = CdcLogSpec(n_events=1600, seed=101, events_per_file=300)
+    base, log_dir, primary, fast = _setup(spark, tmp_work, spec)
+    lag = LakeTable.create(spark, os.path.join(tmp_work, "lag"),
+                           TOKSEQ_SCHEMA, n_buckets=8,
+                           df=spark.createDataFrame(base.to_pandas(),
+                                                    TOKSEQ_SCHEMA))
+    register_consumer(primary, "fast")
+    lag_ack0 = register_consumer(primary, "lag")
+    replay(spark, log_dir, primary, batch_id="full")
+    relay_until_idle(primary.refresh(), fast, prefix="fast", consumer="fast")
+
+    # direct over-expiry clamps at the lagging consumer's ack (0)
+    dropped = primary.refresh().expire_changelog(primary.version)
+    assert dropped == 0
+    assert primary.refresh().snap["changelog"]
+
+    st = feed_status(primary)
+    assert st["consumers"]["lag"]["ack"] == lag_ack0
+    assert st["consumers"]["lag"]["lag_versions"] == st["head"] - lag_ack0 > 0
+    assert st["consumers"]["fast"]["lag_versions"] <= 1
+    assert st["retained_versions"]
+
+    # maintain() on the changelog primary bounds the feed only to the
+    # slowest ack (here: keeps everything for the lagger)
+    m = primary.maintain()
+    assert m["feed_expired"] == 0
+
+    # the lagger catches up — now maintain() frees the whole feed
+    relay_until_idle(primary.refresh(), lag, prefix="lag", consumer="lag")
+    m2 = primary.refresh().maintain()
+    assert m2["feed_expired"] > 0
+    assert primary.refresh().snap["changelog"] == {}
+    assert _state(fast) == _state(primary) == _state(lag)
+
+    # force=True overrides the clamp (abandoning a dead consumer)
+    replay(spark, log_dir, primary.refresh())  # un-ledgered: re-log rows
+    assert primary.refresh().snap["changelog"]
+    import canal_spark.streaming.relay as relay_mod
+    relay_mod._write_consumer_ack(primary, "dead", 0)
+    assert primary.expire_changelog(primary.version) == 0   # clamped
+    assert primary.expire_changelog(primary.version, force=True) > 0
+    assert primary.refresh().snap["changelog"] == {}
