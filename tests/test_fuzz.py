@@ -747,3 +747,138 @@ def test_fuzz_consumer_groups(spark, seed, n_events, n_base, events_per_file,
             rows_to_state(t.refresh().read().collect(), cols), expected, cols)
     if expire:
         assert primary.refresh().snap["changelog"] == {}
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(40, 800),
+    n_base=st.integers(5, 120),
+    events_per_file=st.integers(30, 300),
+    pk_change_frac=st.sampled_from([0.0, 0.2]),
+    op_ins=st.integers(0, 10), op_upd=st.integers(0, 10),
+    op_del=st.integers(0, 10),
+    n_parents=st.integers(1, 5),
+    redeliver=st.booleans(),
+)
+def test_fuzz_child_agg_view(spark, seed, n_events, n_base, events_per_file,
+                             pk_change_frac, op_ins, op_upd, op_del,
+                             n_parents, redeliver):
+    """Property: ChildAggView over any random log shape (op-mix extremes,
+    pk changes, delete-heavy) equals a per-parent GROUP BY over the
+    sequential oracle's final state, for any subset of registered parents;
+    un-ledgered redelivery is a no-op."""
+    from canal_spark.views import ChildAggView
+
+    tot = (op_ins + op_upd + op_del) or 1
+    mix = (op_ins / tot, op_upd / tot, op_del / tot)
+    work = os.path.join(WORK, f"fuzz_cagg_{next(_RUN)}")
+    shutil.rmtree(work, ignore_errors=True)
+    base = generate_base_table(n_base, seed=seed)
+    log_dir = os.path.join(work, "log")
+    generate_cdc_log(log_dir, CdcLogSpec(
+        n_events=n_events, seed=seed, events_per_file=events_per_file,
+        pk_change_frac=pk_change_frac, op_mix=mix), base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(work, "t"), TOKSEQ_SCHEMA,
+                             n_buckets=4, df=bdf)
+    parents = [("web", 1), ("books", 2), ("code", 3), ("wiki", 4),
+               ("forums", 5)][:n_parents]
+    pdf = spark.createDataFrame(parents, "source string, w int")
+    vschema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("n_child", T.LongType()),
+        T.StructField("sum_n_tok", T.LongType()),
+    ])
+    vt = LakeTable.create(spark, os.path.join(work, "v"), vschema,
+                          key_col="source", n_buckets=2)
+    view = ChildAggView(vt, table, "source", ("n_tok",))
+    vt.overwrite(view.seed_frame(pdf, bdf), batch_id="seed")
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    if redeliver:
+        replay(spark, log_dir, table.refresh(), views=[view])  # no ledger
+
+    expected, _cols = oracle_final_state(base, log_dir)
+    agg = {}
+    for row in expected.values():
+        g = row.get("source")
+        if g is None:
+            continue
+        a = agg.setdefault(g, [0, 0])
+        a[0] += 1
+        a[1] += row.get("n_tok") or 0
+    want = {p[0]: (p[1], *agg.get(p[0], [0, 0])) for p in parents}
+    got = {r["source"]: (r["w"], r["n_child"], r["sum_n_tok"])
+           for r in vt.refresh().read().collect()}
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(0, 2**20),
+    n_events=st.integers(40, 800),
+    n_base=st.integers(5, 120),
+    events_per_file=st.integers(30, 300),
+    pk_change_frac=st.sampled_from([0.0, 0.2]),
+    ddl=st.none() | st.tuples(st.integers(0, 800), st.sampled_from(_DDLS[:3])),
+    redeliver=st.booleans(),
+)
+def test_fuzz_multi_joined_view(spark, seed, n_events, n_base,
+                                events_per_file, pk_change_frac, ddl,
+                                redeliver):
+    """Property: MultiJoinedView (two dims on different columns) over any
+    random log shape equals a join-from-scratch of the oracle's final
+    state; DDL-split ranges and un-ledgered redelivery don't move it."""
+    from canal_spark.views import MultiJoinedView
+
+    work = os.path.join(WORK, f"fuzz_mj_{next(_RUN)}")
+    shutil.rmtree(work, ignore_errors=True)
+    base = generate_base_table(n_base, seed=seed)
+    log_dir = os.path.join(work, "log")
+    generate_cdc_log(log_dir, CdcLogSpec(
+        n_events=n_events, seed=seed, events_per_file=events_per_file,
+        pk_change_frac=pk_change_frac,
+        ddl_script=[(min(ddl[0], n_events), ddl[1])] if ddl else []), base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(work, "t"), TOKSEQ_SCHEMA,
+                             n_buckets=4, df=bdf)
+    dim1 = spark.createDataFrame(
+        [("web", "crawl"), ("books", "curated"), ("code", "curated")],
+        "source string, kind string")
+    dim2 = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(256)],
+        "n_tok int, band string")
+    vschema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("band", T.StringType()),
+    ])
+    from pyspark.sql import functions as F
+    seeded = (bdf.select("doc_id", "n_tok", "source")
+              .join(F.broadcast(dim1), "source", "left")
+              .join(F.broadcast(dim2), "n_tok", "left"))
+    vt = LakeTable.create(spark, os.path.join(work, "v"), vschema,
+                          n_buckets=4,
+                          df=seeded.select(*[f.name for f in vschema]))
+    view = MultiJoinedView(vt, [(dim1, "source"), (dim2, "n_tok")])
+    replay(spark, log_dir, table, batch_id="b0", views=[view])
+    if redeliver:
+        replay(spark, log_dir, table.refresh(), views=[view])  # no ledger
+
+    expected, _cols = oracle_final_state(base, log_dir)
+    d1 = {"web": "crawl", "books": "curated", "code": "curated"}
+    want = {}
+    for doc_id, row in expected.items():
+        nt = row.get("n_tok")
+        want[doc_id] = (
+            nt, row.get("source"), d1.get(row.get("source")),
+            None if nt is None or not (0 <= nt < 256)
+            else ("even" if nt % 2 == 0 else "odd"))
+    got = {r["doc_id"]: (r["n_tok"], r["source"], r["kind"], r["band"])
+           for r in vt.refresh().read().collect()}
+    assert got == want
