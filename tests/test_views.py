@@ -1053,3 +1053,38 @@ def test_child_agg_correct_mid_spec_migration(spark, tmp_work):
     assert table.refresh().next_n_buckets in (None, 32)
     assert_state_equal(_child_agg_state(view),
                        _expected_child_agg(base, log_dir), CHILD_AGG_COLS)
+
+
+def test_retraction_views_over_merge_on_read_main(spark, tmp_work):
+    """The retraction kernels read old images via read_raw at the child's
+    PARENT version — under merge-on-read the winning old image may live in
+    a delta file, so the versioned read's max-LSN fold is load-bearing.
+    Both AggRollupView and ChildAggView over a MoR main table must equal
+    their recomputes."""
+    from canal_spark.views import AggRollupView, ChildAggView, agg_rollup_frame
+
+    spec = CdcLogSpec(n_events=2400, seed=90, events_per_file=300,
+                      pk_change_frac=0.04)
+    base = generate_base_table(300, seed=spec.seed)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=8, df=bdf,
+                             merge_mode="mor")
+    vt1 = LakeTable.create(spark, os.path.join(tmp_work, "rollup"),
+                           ROLLUP_SCHEMA, key_col="source", n_buckets=4,
+                           df=agg_rollup_frame(bdf, "source", ("n_tok",)))
+    rollup = AggRollupView(vt1, table, "source", ("n_tok",))
+    pdf = spark.createDataFrame(PARENT_ROWS, PARENT_DDL)
+    vt2 = LakeTable.create(spark, os.path.join(tmp_work, "child_agg"),
+                           CHILD_AGG_SCHEMA, key_col="source", n_buckets=4)
+    cagg = ChildAggView(vt2, table, "source", ("n_tok",))
+    vt2.overwrite(cagg.seed_frame(pdf, bdf), batch_id="seed")
+
+    replay(spark, log_dir, table, batch_id="full", views=[rollup, cagg])
+    assert table.refresh().snap["deltas"]  # the MoR path actually ran
+    assert_state_equal(_rollup_state(rollup),
+                       _expected_rollup(base, log_dir), ROLLUP_COLS)
+    assert_state_equal(_child_agg_state(cagg),
+                       _expected_child_agg(base, log_dir), CHILD_AGG_COLS)
