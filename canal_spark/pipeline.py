@@ -283,7 +283,14 @@ def apply_events(events: DataFrame, table: LakeTable,
         for cmd in applied:
             if cmd.kind == "TRUNCATE":
                 for v in views or []:
-                    v.table.truncate(lsn=ddl_lsn)
+                    # views derived 1:1 from main rows wipe with it; views
+                    # whose ROWS outlive the main data (ChildAggView's
+                    # parents) override on_source_truncate to reset their
+                    # derived columns instead
+                    if hasattr(v, "on_source_truncate"):
+                        v.on_source_truncate(ddl_lsn)
+                    else:
+                        v.table.truncate(lsn=ddl_lsn)
         stats.ddls += 1
         lo = ddl_lsn
     res = apply_dml_range(

@@ -992,6 +992,31 @@ class ChildAggView:
         finally:
             deltas.unpersist()
 
+    def on_source_truncate(self, lsn: str) -> dict:
+        """TRUNCATE on the CHILD table: the parents still exist — their
+        child sets are now empty — so the view must NOT wipe (the default
+        view truncate hook would delete the parent rows, and since children
+        of absent parents update nothing, the view would stay empty
+        forever). Instead every live parent row's aggregates reset to zero,
+        payload untouched, stamped just above the truncate LSN (``lsn~t``
+        beats any pre-truncate event stamp and loses to any later one, the
+        dim-refresh fence idiom). Redelivered pre-truncate child batches
+        are already filtered by the child's own truncate fence in apply().
+        """
+        vkey, sums = self.table.key_col, self.sum_cols
+        payload = [c for c in self.table.logical_columns()
+                   if c != vkey and c != "n_child"
+                   and c not in {f"sum_{c2}" for c2 in sums}]
+        live = (self.table.refresh().read_raw()
+                .where(~F.coalesce(F.col("_deleted"), F.lit(False))))
+        zeroed = live.select(
+            F.col(vkey), *payload,
+            F.lit(0).cast("long").alias("n_child"),
+            *[F.lit(0).cast("long").alias(f"sum_{c}") for c in sums],
+            F.lit("U").alias("op"),
+            F.concat(F.lit(lsn), F.lit("~t")).alias("lsn"))
+        return self.table.merge_apply(zeroed)
+
     def seed_frame(self, parents: DataFrame, child_df: DataFrame) -> DataFrame:
         """Batch seed / recompute-from-scratch twin: parents left-joined to
         the child aggregate — `view state == seed_frame(parents, child)` is

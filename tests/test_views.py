@@ -1088,3 +1088,22 @@ def test_retraction_views_over_merge_on_read_main(spark, tmp_work):
                        _expected_rollup(base, log_dir), ROLLUP_COLS)
     assert_state_equal(_child_agg_state(cagg),
                        _expected_child_agg(base, log_dir), CHILD_AGG_COLS)
+
+
+def test_child_agg_truncate_zeroes_not_wipes(spark, tmp_work):
+    """CHILD TRUNCATE mid-log: the parents must SURVIVE with zeroed
+    aggregates (the default wipe hook would empty the view forever, since
+    children of absent parents update nothing), then post-truncate churn
+    rebuilds exactly the recompute."""
+    ddl = [(1000, "TRUNCATE TABLE train.tokseq")]
+    spec = CdcLogSpec(n_events=2000, seed=91, events_per_file=400,
+                      ddl_script=ddl)
+    base, log_dir, table, view, _ = _child_agg_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+    st = _child_agg_state(view)
+    assert set(st) == {p[0] for p in PARENT_ROWS}   # parents survived
+    assert_state_equal(st, _expected_child_agg(base, log_dir),
+                       CHILD_AGG_COLS)
+    # redelivery of the whole log (incl. pre-truncate segments) is a no-op
+    replay(spark, log_dir, table.refresh(), views=[view])
+    assert _child_agg_state(view) == st
