@@ -53,64 +53,13 @@ class JoinedView:
                      if c not in dim_payload]
         return main_cols, dim_payload
 
-    # ------------------------------------------------ dim-key posting map
-    # {on_value: [view buckets holding live rows with that value]} — kept in
-    # the view snapshot so apply_dim_changes can prune its view read to the
-    # touched buckets instead of scanning the whole view (VERDICT r03
-    # wrong #4: the broadcast semi-join pruned ROWS but not FILES, because
-    # `on` is not the key and file key-stats don't apply). Group-cardinality
-    # × n_buckets sized. Entries only accrete (a deleted row leaves its
-    # bucket listed — extra buckets read, never missed ones); the map is
-    # dropped and rebuilt if the bucket spec changed under it.
-
-    def _postings_valid(self, snap: dict) -> bool:
-        return (snap.get("dim_postings") is not None
-                and snap.get("dim_postings_nb") == snap.get("n_buckets")
-                and not snap.get("next_n_buckets"))
-
-    def _ensure_postings(self) -> dict:
-        """Bootstrap (or rebuild) the posting map with ONE column-pruned
-        scan of the view's (on, key) columns — paid once; every later batch
-        extends the map incrementally in apply()."""
-        t = self.table.refresh()
-        if self._postings_valid(t.snap):
-            return dict(t.snap["dim_postings"])
-        rows = (
-            t.read_raw()
-            .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
-            .select(F.col(self.on).cast("string").alias("_g"),
-                    t._bucket_col(t.key_col).alias("_b"))
-            .where(F.col("_g").isNotNull())
-            .distinct().collect())
-        postings: dict = {}
-        for r in rows:
-            postings.setdefault(r["_g"], []).append(int(r["_b"]))
-        t._commit_meta(dim_postings=postings,
-                       dim_postings_nb=t.snap.get("n_buckets"))
-        return postings
-
-    def _extend_postings(self, ups: DataFrame) -> None:
-        """Fold a batch's (on, bucket) pairs into an EXISTING posting map
-        (metadata-sized distinct+collect over the already-persisted batch).
-        No-op until apply_dim_changes bootstraps the map — views that never
-        see dim churn never pay the per-batch action."""
-        t = self.table
-        if not self._postings_valid(t.snap):
-            return
-        pairs = (ups.select(F.col(self.on).cast("string").alias("_g"),
-                            t._bucket_col(t.key_col).alias("_b"))
-                 .where(F.col("_g").isNotNull()).distinct().collect())
-        postings = {k: list(v) for k, v in t.snap["dim_postings"].items()}
-        changed = False
-        for r in pairs:
-            b = int(r["_b"])
-            lst = postings.setdefault(r["_g"], [])
-            if b not in lst:
-                lst.append(b)
-                changed = True
-        if changed:
-            t._commit_meta(dim_postings=postings,
-                           dim_postings_nb=t.snap.get("n_buckets"))
+    # dim-key posting map: {on_value: [view buckets holding live rows with
+    # that value]} — kept in the view snapshot so apply_dim_changes can
+    # prune its view read to the touched buckets instead of scanning the
+    # whole view (VERDICT r03 wrong #4: the broadcast semi-join pruned
+    # ROWS but not FILES, because `on` is not the key and file key-stats
+    # don't apply). Shared helpers (_ensure_on_postings/_extend_on_postings
+    # below) — one idiom for JoinedView and MultiJoinedView.
 
     def apply(self, net_changes: DataFrame, batch_id: str | None = None,
               max_lsn: str | None = None) -> dict:
@@ -149,7 +98,7 @@ class JoinedView:
         res = self.table.merge_apply(enriched, batch_id=batch_id,
                                      max_lsn=max_lsn)
         if not res.get("skipped"):
-            self._extend_postings(ups)
+            _extend_on_postings(self.table, self.on, ups)
         return res
 
     def apply_dim_changes(self, new_dim: DataFrame,
@@ -182,7 +131,7 @@ class JoinedView:
         # buckets hold rows joining the changed dim keys (bootstrap scan
         # once, then maintained per batch). Keys is dim-sized, so the
         # collect is metadata-sized.
-        postings = self._ensure_postings()
+        postings = _ensure_on_postings(self.table, self.on)
         key_vals = [str(r[0]) for r in keys.distinct().collect()
                     if r[0] is not None]
         bks = sorted({b for k in key_vals for b in postings.get(k, [])})

@@ -855,7 +855,7 @@ def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
     posting map narrows the view read to the buckets actually holding rows
     of the changed dim key. Asserted by spying read_raw's buckets arg, plus
     per-batch posting maintenance and correctness of the refresh."""
-    from canal_spark.views import JoinedView
+    from canal_spark.views import JoinedView, _ensure_on_postings
 
     n_buckets = 16
     vschema = T.StructType([
@@ -874,7 +874,7 @@ def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
         "grp string, grp_label string")
     view = JoinedView(vt, dim, on="grp")
 
-    postings = view._ensure_postings()
+    postings = _ensure_on_postings(vt, "grp")
     assert set(postings) == {f"g{g:03d}" for g in range(40)}
     assert 0 < len(postings["g007"]) <= 3 < n_buckets
 
@@ -905,12 +905,12 @@ def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
 
     # per-batch maintenance: an upsert landing a known grp in a NEW bucket
     # extends that grp's postings
-    before = set(vt.refresh().snap["dim_postings"]["g007"])
+    before = set(vt.refresh().snap["dim_postings:grp"]["g007"])
     chg = spark.createDataFrame(
         [(f"dnew-{i}", "g007", "U", f"lsn-{i:04d}") for i in range(40)],
         "doc_id string, grp string, op string, lsn string")
     view.apply(chg, batch_id="b1")
-    after = set(vt.refresh().snap["dim_postings"]["g007"])
+    after = set(vt.refresh().snap["dim_postings:grp"]["g007"])
     assert before < after
 
     # a changed key with NO view rows refreshes nothing (no scan at all)
