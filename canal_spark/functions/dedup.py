@@ -664,11 +664,18 @@ def _cc_star_labels(pairs: DataFrame, id_a: str, id_b: str,
             f"star connected components did not converge in {max_iter} "
             f"rounds; raise max_iter")
     # stars rooted at component minima: non-roots are the g side with
-    # their unique l partner; roots label themselves
+    # their unique l partner; roots label themselves. Ids appearing ONLY
+    # in self-pairs (x, x) were dropped by the l != g normalization — the
+    # contract is "(id, lbl) for EVERY id in pairs" (minlabel keeps them),
+    # so they rejoin as their own singleton labels (code-review r04 #4)
     labels = (e.select(F.col("g").alias("id"), F.col("l").alias("lbl"))
               .unionAll(e.select(F.col("l").alias("id"),
                                  F.col("l").alias("lbl")))
               .groupBy("id").agg(F.min("lbl").alias("lbl")))
+    all_ids = (pairs.select(F.col(id_a).alias("id"))
+               .unionAll(pairs.select(F.col(id_b).alias("id"))).distinct())
+    labels = (all_ids.join(labels, "id", "left")
+              .select("id", F.coalesce("lbl", "id").alias("lbl")))
     return labels.localCheckpoint(eager=True)
 
 

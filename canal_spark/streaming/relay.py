@@ -164,6 +164,15 @@ def subscribe(src: LakeTable, dst: LakeTable, consumer: str) -> int:
         *[F.col(c).cast(dtypes[c].dataType).alias(c) if c in snap_df.columns
           else F.lit(None).cast(dtypes[c].dataType).alias(c) for c in cols]),
         batch_id=f"subscribe/{consumer}/v{head:08d}")
+    # carry the source's truncate fence into the subscriber METADATA-ONLY:
+    # the snapshot already reflects every historical TRUNCATE, but a fresh
+    # dst has truncate_lsn '' — the first relay poll's fence mirror would
+    # see src_trunc > '' and dst.truncate() the entire backfill away, then
+    # only ever redeliver post-subscription churn (code-review r04 finding
+    # #1: every unchanged row silently missing forever)
+    src_trunc = src.snap.get("truncate_lsn", "")
+    if src_trunc:
+        dst.refresh()._commit_meta(truncate_lsn=src_trunc)
     return register_consumer(src, consumer, ack=head)
 
 

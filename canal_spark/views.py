@@ -24,6 +24,8 @@ O(matching rows), not O(view) rewrites thanks to MERGE file pruning.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, Window
@@ -54,9 +56,9 @@ class JoinedView:
         return main_cols, dim_payload
 
     # dim-key posting map: {on_value: [view buckets holding live rows with
-    # that value]} — kept in the view snapshot so apply_dim_changes can
-    # prune its view read to the touched buckets instead of scanning the
-    # whole view (VERDICT r03 wrong #4: the broadcast semi-join pruned
+    # that value]} — a side file beside the view data so apply_dim_changes
+    # can prune its view read to the touched buckets instead of scanning
+    # the whole view (VERDICT r03 wrong #4: the broadcast semi-join pruned
     # ROWS but not FILES, because `on` is not the key and file key-stats
     # don't apply). Shared helpers (_ensure_on_postings/_extend_on_postings
     # below) — one idiom for JoinedView and MultiJoinedView.
@@ -97,8 +99,10 @@ class JoinedView:
             dels.select(*cols, "op", "lsn"))
         res = self.table.merge_apply(enriched, batch_id=batch_id,
                                      max_lsn=max_lsn)
-        if not res.get("skipped"):
-            _extend_on_postings(self.table, self.on, ups)
+        # ALSO on ledger-skipped redelivery: the extension is idempotent,
+        # and a crash between the data commit and the postings write is
+        # repaired exactly by the replayed (skipped) epoch
+        _extend_on_postings(self.table, self.on, ups)
         return res
 
     def apply_dim_changes(self, new_dim: DataFrame,
@@ -201,8 +205,6 @@ class MultiJoinedView:
 
     def apply(self, net_changes: DataFrame, batch_id: str | None = None,
               max_lsn: str | None = None) -> dict:
-        if batch_id is not None and self.table.is_applied(batch_id):
-            return {"skipped": True}
         main_cols = self._main_cols()
         view_types = self.table.schema()
         present = set(net_changes.columns)
@@ -224,9 +226,10 @@ class MultiJoinedView:
             ups.select(*cols, "op", "lsn")
             .unionByName(dels.select(*cols, "op", "lsn")),
             batch_id=batch_id, max_lsn=max_lsn)
-        if not res.get("skipped"):
-            for i, (_, on) in enumerate(self.dims):
-                _extend_on_postings(self.table, on, ups)
+        # ALSO on ledger-skipped redelivery — idempotent crash repair of
+        # the side-file map (see the posting helpers' docstring)
+        for _d, on in self.dims:
+            _extend_on_postings(self.table, on, ups)
         return res
 
     def apply_dim_changes(self, dim_index: int, new_dim: DataFrame,
@@ -263,23 +266,52 @@ class MultiJoinedView:
         return self.table.merge_apply(refreshed, batch_id=batch_id)
 
 
-def _postings_key(on: str) -> str:
-    return f"dim_postings:{on}"
+# Posting maps live in SIDE FILES (`{table}/postings/{on}.json`, atomic
+# write+rename), not the snapshot chain: a high-cardinality join column
+# (the multi-dim driver query joins on n_tok, domain 65536) would otherwise
+# re-serialize the whole map into EVERY snapshot commit of the view and add
+# one metadata commit per dim per batch (code-review r04 finding #5). A
+# side file is rewritten only when the map actually grows, and nothing else
+# pays for it. Crash-consistency: the extension runs even for LEDGER-
+# SKIPPED redeliveries (it is idempotent), so a crash between the view's
+# data commit and the postings write repairs itself on the replayed epoch
+# (code-review r04 finding #3).
 
 
-def _postings_snap_valid(t: LakeTable, key: str) -> bool:
-    return (t.snap.get(key) is not None
-            and t.snap.get(key + ":nb") == t.snap.get("n_buckets")
-            and not t.snap.get("next_n_buckets"))
+def _postings_path(t: LakeTable, on: str) -> str:
+    return os.path.join(t.path, "postings", f"{on}.json")
+
+
+def _load_postings(t: LakeTable, on: str) -> dict | None:
+    """The stored map, or None if absent/stale (bucket spec changed or a
+    migration is in flight — bucket ids would lie)."""
+    p = _postings_path(t, on)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        data = json.load(fh)
+    if (data.get("nb") != t.snap.get("n_buckets")
+            or t.snap.get("next_n_buckets")):
+        return None
+    return data["map"]
+
+
+def _store_postings(t: LakeTable, on: str, postings: dict) -> None:
+    p = _postings_path(t, on)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"nb": t.snap.get("n_buckets"), "map": postings}, fh)
+    os.replace(tmp, p)
 
 
 def _ensure_on_postings(t: LakeTable, on: str) -> dict:
     """Bootstrap (or rebuild) the {on-value → buckets} posting map for one
     join column — one column-pruned scan, then maintained per batch."""
     t.refresh()
-    key = _postings_key(on)
-    if _postings_snap_valid(t, key):
-        return dict(t.snap[key])
+    cur = _load_postings(t, on)
+    if cur is not None:
+        return cur
     rows = (
         t.read_raw()
         .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
@@ -290,20 +322,20 @@ def _ensure_on_postings(t: LakeTable, on: str) -> dict:
     postings: dict = {}
     for r in rows:
         postings.setdefault(r["_g"], []).append(int(r["_b"]))
-    t._commit_meta(**{key: postings, key + ":nb": t.snap.get("n_buckets")})
+    _store_postings(t, on, postings)
     return postings
 
 
 def _extend_on_postings(t: LakeTable, on: str, ups: DataFrame) -> None:
     """Fold a batch's (on, bucket) pairs into an EXISTING posting map —
-    no-op until a dim refresh bootstraps it."""
-    key = _postings_key(on)
-    if not _postings_snap_valid(t, key):
+    no-op until a dim refresh bootstraps it. Idempotent; callers run it
+    even for ledger-skipped redeliveries (crash repair, see above)."""
+    postings = _load_postings(t, on)
+    if postings is None:
         return
     pairs = (ups.select(F.col(on).cast("string").alias("_g"),
                         t._bucket_col(t.key_col).alias("_b"))
              .where(F.col("_g").isNotNull()).distinct().collect())
-    postings = {k: list(v) for k, v in t.snap[key].items()}
     changed = False
     for r in pairs:
         b = int(r["_b"])
@@ -312,7 +344,7 @@ def _extend_on_postings(t: LakeTable, on: str, ups: DataFrame) -> None:
             lst.append(b)
             changed = True
     if changed:
-        t._commit_meta(**{key: postings, key + ":nb": t.snap.get("n_buckets")})
+        _store_postings(t, on, postings)
 
 
 class TransformView:
@@ -988,10 +1020,19 @@ class ChildAggView:
         """Parent-stream direction: parent upserts join their CURRENT view
         aggregates (payload refresh); parents NEW to the view seed their
         aggregates from one fk-filtered child aggregate; parent deletes
-        tombstone the view row. LSN fencing follows the parent stream's own
-        LSNs (the parent is a different table, so its LSN space is the
-        view's authority for payload columns — same single-writer rule as
-        JoinedView.apply_dim_changes)."""
+        tombstone the view row.
+
+        LSN fencing: the parent stream's LSN space is UNRELATED to the
+        child's, so stamping rows with the raw parent lsn would lose the
+        merge fence against any view row already carrying a higher
+        child-batch stamp (``…~c``) — the payload update or delete would be
+        silently dropped (code-review r04 finding #2). Each row is instead
+        floor-stamped just above its OWN current view stamp
+        (``stored || '~g'``, the apply_dim_changes idiom): it always beats
+        the row it read and loses to any later child batch (whose stamp is
+        ``greatest(hi, stored) || '~c'`` and therefore sorts above)."""
+        from canal_spark.lsn import ZERO_LSN
+
         vkey, sums = self.table.key_col, self.sum_cols
         payload = [c for c in self.table.logical_columns()
                    if c != vkey and c != "n_child"
@@ -999,11 +1040,13 @@ class ChildAggView:
         aggs = ["n_child"] + [f"sum_{c}" for c in sums]
         ups = net_changes.where(F.col("op") == "U") \
             .select(vkey, *payload, "op", "lsn")
-        keys = ups.select(vkey)
+        keys = net_changes.select(vkey)
         cur = (self.table.read_raw()
                .where(~F.coalesce(F.col("_deleted"), F.lit(False)))
                .join(F.broadcast(keys.distinct()), vkey, "leftsemi")
-               .select(vkey, *[F.col(a).alias(f"_cur_{a}") for a in aggs]))
+               .select(vkey, *[F.col(a).alias(f"_cur_{a}") for a in aggs],
+                       F.coalesce(F.nullif(F.col("_source_lsn"), F.lit("")),
+                                  F.lit(ZERO_LSN)).alias("_cur_lsn")))
         probe = keys.distinct().withColumnRenamed(vkey, "_probe_key")
         child_df = self.child.refresh().read()
         seeded = (child_df
@@ -1015,6 +1058,8 @@ class ChildAggView:
                   .agg(F.count("*").cast("long").alias("_new_n_child"),
                        *[F.sum(F.coalesce(F.col(c).cast("long"), F.lit(0)))
                          .alias(f"_new_sum_{c}") for c in sums]))
+        stamp = F.concat(F.coalesce(F.col("_cur_lsn"), F.lit(ZERO_LSN)),
+                         F.lit("~g"))
         enriched = (ups.join(cur, vkey, "left").join(seeded, vkey, "left")
                     .select(vkey, *payload,
                             F.coalesce(F.col("_cur_n_child"),
@@ -1024,13 +1069,15 @@ class ChildAggView:
                                          F.col(f"_new_sum_{c}"),
                                          F.lit(0)).cast("long")
                               .alias(f"sum_{c}") for c in sums],
-                            "op", "lsn"))
+                            "op", stamp.alias("lsn")))
         view_types = self.table.schema()
-        dels = net_changes.where(F.col("op") == "D").select(
-            F.col(vkey),
-            *[F.lit(None).cast(view_types[c].dataType).alias(c)
-              for c in payload + aggs],
-            "op", "lsn")
+        dels = (net_changes.where(F.col("op") == "D")
+                .join(cur.select(vkey, "_cur_lsn"), vkey, "left")
+                .select(
+                    F.col(vkey),
+                    *[F.lit(None).cast(view_types[c].dataType).alias(c)
+                      for c in payload + aggs],
+                    "op", stamp.alias("lsn")))
         return self.table.merge_apply(enriched.unionByName(dels),
                                       batch_id=batch_id)
 

@@ -487,3 +487,32 @@ def test_expire_guard_protects_lagging_consumer(spark, tmp_work):
     assert primary.expire_changelog(primary.version) == 0   # clamped
     assert primary.expire_changelog(primary.version, force=True) > 0
     assert primary.refresh().snap["changelog"] == {}
+
+
+def test_subscribe_survives_historical_truncate(spark, tmp_work):
+    """Regression (code-review r04 #1): a newcomer subscribing to a source
+    with ANY historical TRUNCATE must keep its snapshot backfill — the
+    first poll's truncate-fence mirror used to wipe the whole backfill and
+    the feed never redelivers pre-subscription rows."""
+    from canal_spark.streaming.relay import relay_until_idle, subscribe
+
+    ddl = [(800, "TRUNCATE TABLE train.tokseq")]
+    spec = CdcLogSpec(n_events=2000, seed=103, events_per_file=400,
+                      ddl_script=ddl)
+    base, log_dir, primary, _ = _setup(spark, tmp_work, spec)
+    segs = sorted(f for f in os.listdir(log_dir) if f.endswith(".parquet"))
+    half = len(segs) // 2
+    replay(spark, log_dir, primary, files=segs[:half], batch_id="w1")
+    assert primary.refresh().snap["truncate_lsn"]    # truncate happened
+
+    newcomer = LakeTable.create(spark, os.path.join(tmp_work, "newcomer"),
+                                TOKSEQ_SCHEMA, n_buckets=8)
+    subscribe(primary.refresh(), newcomer, "newcomer")
+    n_backfill = newcomer.refresh().read().count()
+    assert n_backfill > 0
+
+    # the first poll (idle or not) must NOT wipe the backfill
+    replay(spark, log_dir, primary.refresh(), files=segs[half:],
+           batch_id="w2")
+    relay_until_idle(primary.refresh(), newcomer, consumer="newcomer")
+    assert _state(newcomer) == _state(primary)

@@ -307,8 +307,11 @@ def test_cc_star_matches_minlabel_on_cliquey_graph(spark):
     near-clique shape LSH emits (two blobs + an isolated pair)."""
     edges = ([(f"a{i:02d}", f"a{j:02d}") for i in range(6) for j in range(i)]
              + [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
-             + [("z8", "z9")])
-    assert _cc_of(spark, edges, "star") == _cc_of(spark, edges, "minlabel")
+             + [("z8", "z9")]
+             + [("s1", "s1")])   # self-loop-only id: both must label s1->s1
+    star, mini = _cc_of(spark, edges, "star"), _cc_of(spark, edges, "minlabel")
+    assert star == mini
+    assert star["s1"] == "s1"
 
 
 def test_cc_star_converges_on_long_path(spark):

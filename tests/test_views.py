@@ -829,10 +829,15 @@ def test_child_agg_parent_changes(spark, tmp_work):
     replay(spark, log_dir, table, batch_id="full", views=[view])
     exp_all = _expected_child_agg(base, log_dir)
 
+    # parent-stream LSNs chosen BELOW every child stamp on purpose: the
+    # parent space is unrelated to the child's, and a raw-lsn stamp would
+    # lose the merge fence against the view rows' existing ~c stamps and
+    # silently drop all three changes (code-review r04 finding #2 — the
+    # original test's 'p-001' lsns sorted above digits and masked it)
     pchg = spark.createDataFrame(
-        [("web", "crawl-v2", 55, "U", "p-001"),       # payload refresh
-         ("wiki", "curated", 100, "U", "p-002"),      # NEW parent: seed aggs
-         ("code", None, None, "D", "p-003")],         # parent delete
+        [("web", "crawl-v2", 55, "U", "000000000001"),   # payload refresh
+         ("wiki", "curated", 100, "U", "000000000002"),  # NEW parent
+         ("code", None, None, "D", "000000000003")],     # parent delete
         "source string, src_kind string, src_weight_e2 int, "
         "op string, lsn string")
     view.apply_parent_changes(pchg, batch_id="p1")
@@ -905,12 +910,13 @@ def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
 
     # per-batch maintenance: an upsert landing a known grp in a NEW bucket
     # extends that grp's postings
-    before = set(vt.refresh().snap["dim_postings:grp"]["g007"])
+    from canal_spark.views import _load_postings
+    before = set(_load_postings(vt.refresh(), "grp")["g007"])
     chg = spark.createDataFrame(
         [(f"dnew-{i}", "g007", "U", f"lsn-{i:04d}") for i in range(40)],
         "doc_id string, grp string, op string, lsn string")
     view.apply(chg, batch_id="b1")
-    after = set(vt.refresh().snap["dim_postings:grp"]["g007"])
+    after = set(_load_postings(vt.refresh(), "grp")["g007"])
     assert before < after
 
     # a changed key with NO view rows refreshes nothing (no scan at all)
@@ -1024,7 +1030,8 @@ def test_multi_joined_view_dim_refresh_either_dim(spark, tmp_work):
         _expected_mj(base, log_dir, dim_rows=new1, band_rows=new2), MJ_COLS)
     # the n_tok posting map was bootstrapped by the refresh and is
     # bucket-sparse (each n_tok value's docs land in a few buckets)
-    postings = view.table.refresh().snap["dim_postings:n_tok"]
+    from canal_spark.views import _load_postings
+    postings = _load_postings(view.table.refresh(), "n_tok")
     nb = view.table.n_buckets
     assert postings and all(0 < len(v) <= nb for v in postings.values())
     # a changed key with no view rows skips the scan entirely (the
