@@ -283,9 +283,16 @@ def wire_net_changes(events: DataFrame, key: str,
                       _JSON_OPTS)
     types = {f.name: f.dataType for f in image_schema.fields}
     data_cols = [f.name for f in image_schema.fields if f.name != key]
+    # try_cast, not cast: under ANSI (Spark 4 default) a malformed scalar —
+    # MySQL's zero-date '0000-00-00' being the canonical case — would THROW
+    # and kill the stream; the reference maps unrepresentable values to
+    # NULL instead (LogEventConvert.java:819-829 zero-date → null) and so
+    # does every adapter's sink-type conversion. Payload-level corruption
+    # is still surfaced loudly by the DLQ screen (screen_wire_events);
+    # this is only the per-VALUE tolerance.
     return final.select(
         key,
-        *[img.getItem(c).cast(types[c]).alias(c) for c in data_cols],
+        *[img.getItem(c).try_cast(types[c]).alias(c) for c in data_cols],
         parts.getItem(1).alias("op"),
         parts.getItem(0).alias("lsn"),
     )

@@ -35,6 +35,18 @@ from canal_spark.table.lake import LakeTable
 RELAY_PREFIX = "relay"
 
 
+class FeedRetentionGapError(RuntimeError):
+    """A relay's ack trails the feed's expired high-water mark: entries it
+    still needed were already dropped (e.g. an unnamed relay sharing a feed
+    with registered consumers whose min ack passed it, or a ``force=True``
+    expiry). Silently fast-forwarding would be silent data loss — the
+    consumer must ``subscribe()`` (snapshot backfill + re-position) or
+    ``register_consumer`` at an explicit live position instead. The
+    reference raises the same way when a client's position has left the
+    ring buffer (store/.../MemoryEventStoreWithBuffer.java ack-position
+    checks)."""
+
+
 def acked_version(dst: LakeTable, prefix: str = RELAY_PREFIX) -> int:
     """The relay's resume position: the durable ``relay_acks`` snapshot
     field, max'd with a scan of the exactly-once ledger's ``{prefix}/v{N}``
@@ -237,6 +249,21 @@ def relay_step(src: LakeTable, dst: LakeTable,
             # landed between the data commit and the ack write)
             _record_consumer_ack(src, consumer, ack)
         return {"applied": False, "ack": ack, "head": head}
+
+    # retention-gap guard (ADVICE r05 #3): entries in (ack, expired_upto]
+    # were dropped before this relay consumed them — fast-forwarding (the
+    # metadata fast path below would happily do it) is silent data loss.
+    # Named consumers registered via register_consumer/subscribe start at
+    # the retention floor or the snapshot head, so they only hit this after
+    # a force-expiry or a deleted cursor — both operator actions that
+    # SHOULD surface loudly.
+    expired_upto = int(src.snap.get("changelog_expired_upto", 0))
+    if ack < expired_upto:
+        raise FeedRetentionGapError(
+            f"feed entries (v{ack}, v{expired_upto}] were expired before "
+            f"this relay (prefix={prefix!r}, consumer={consumer!r}) "
+            f"consumed them — subscribe() to snapshot-backfill and "
+            f"re-position, or register_consumer at a live position")
 
     src_types = {f.name: f.dataType for f in src.schema().fields}
     for name, dtype in src_types.items():

@@ -482,9 +482,16 @@ class LakeTable:
                     deltas={}, parent=self.snap["version"], n_buckets=tgt_n)
         snap.pop("next_n_buckets", None)
         snap.pop("migrated", None)
+        # pairs chain restarts: the whole population changed, so any stored
+        # posting map is a lie either way — delete it outright (ADVICE r04
+        # #2: a re-seeded table serving a pre-seed map under-lists buckets,
+        # silently skipping live rows on dim refresh)
+        snap["prev_pairs_version"] = int(snap.get("pairs_version", 0))
+        snap["pairs_version"] = version
         if batch_id is not None:
             snap["applied_batches"] = _ledger_add(snap["applied_batches"], batch_id)
         self._write_snapshot(snap)
+        shutil.rmtree(os.path.join(self.path, "postings"), ignore_errors=True)
 
     def _phys(self, logical: str) -> str:
         for c in self.snap["columns"]:
@@ -672,6 +679,12 @@ class LakeTable:
             snap = dict(self.snap)
             snap.update(version=version, files=files, file_stats=file_stats,
                         parent=self.snap["version"])
+            # posting-table freshness chain (views.py): this data commit
+            # may land join values in new buckets — a posting map not yet
+            # folded up to prev_pairs_version must rebuild, one folded to
+            # it extends incrementally
+            snap["prev_pairs_version"] = int(snap.get("pairs_version", 0))
+            snap["pairs_version"] = version
             if batch_id is not None:
                 snap["applied_batches"] = _ledger_add(
                     snap["applied_batches"], batch_id)
@@ -731,6 +744,9 @@ class LakeTable:
         snap = dict(self.snap)
         snap.update(version=version, deltas=deltas, file_stats=file_stats,
                     parent=self.snap["version"])
+        # posting-table freshness chain — see the CoW commit path
+        snap["prev_pairs_version"] = int(snap.get("pairs_version", 0))
+        snap["pairs_version"] = version
         if batch_id is not None:
             snap["applied_batches"] = _ledger_add(
                 snap["applied_batches"], batch_id)
@@ -850,7 +866,14 @@ class LakeTable:
             shutil.rmtree(os.path.join(self.path, "changelog", cl.pop(v)),
                           ignore_errors=True)
         if drop:
-            self._commit_meta(changelog=cl)
+            # durable high-water mark of DROPPED feed entries: a consumer
+            # whose ack trails it can never be served the gap — relay_step
+            # detects this and raises instead of silently skipping to head
+            # (ADVICE r05 #3: silent data loss must not look like an idle
+            # poll)
+            hwm = max(int(self.snap.get("changelog_expired_upto", 0)),
+                      max(int(v) for v in drop))
+            self._commit_meta(changelog=cl, changelog_expired_upto=hwm)
         return len(drop)
 
     # ----------------------------------------------------------------- DDL
@@ -920,6 +943,9 @@ class LakeTable:
         if lsn is not None:
             updates["truncate_lsn"] = max(self.snap.get("truncate_lsn", ""), lsn)
         self._commit_meta(**updates)
+        # a wiped table's posting map only over-lists (harmless for
+        # pruning) but is pure dead weight — drop it with the rows
+        shutil.rmtree(os.path.join(self.path, "postings"), ignore_errors=True)
 
     # ------------------------------------------------------- maintenance
     def compact(self, buckets: list[int] | None = None) -> None:

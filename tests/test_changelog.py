@@ -516,3 +516,37 @@ def test_subscribe_survives_historical_truncate(spark, tmp_work):
            batch_id="w2")
     relay_until_idle(primary.refresh(), newcomer, consumer="newcomer")
     assert _state(newcomer) == _state(primary)
+
+
+def test_retention_gap_raises_not_silent(spark, tmp_work):
+    """An unnamed relay whose ack trails the feed's expired high-water mark
+    must get FeedRetentionGapError, not a silent fast-forward (ADVICE r05
+    #3: the metadata fast path used to advance the ack to head whenever no
+    entries remained in (ack, head], even when the missing entries were
+    EXPIRED rather than never-written — data loss dressed as an idle
+    poll). Recovery via subscribe() then relays cleanly."""
+    import pytest
+
+    from canal_spark.streaming.relay import (FeedRetentionGapError,
+                                             relay_until_idle, subscribe)
+
+    spec = CdcLogSpec(n_events=1600, seed=104, events_per_file=400)
+    base, log_dir, primary, fast = _setup(spark, tmp_work, spec)
+    replay(spark, log_dir, primary, batch_id="full")
+    # a registered consumer drains and frees the whole feed
+    relay_until_idle(primary.refresh(), fast, prefix="fast", consumer="fast",
+                     expire_acked=True)
+    assert primary.refresh().snap["changelog"] == {}
+    assert int(primary.snap.get("changelog_expired_upto", 0)) > 0
+
+    # an unnamed late relay (ack=0) now has an unservable gap
+    late = LakeTable.create(spark, os.path.join(tmp_work, "late"),
+                            TOKSEQ_SCHEMA, n_buckets=8)
+    with pytest.raises(FeedRetentionGapError):
+        relay_until_idle(primary.refresh(), late, prefix="late")
+    # the guard did not corrupt anything: subscribe() backfills and the
+    # relay follows from the snapshot position
+    subscribe(primary.refresh(), late, "late")
+    relay_until_idle(primary.refresh(), late, prefix="late",
+                     consumer="late")
+    assert _state(late) == _state(primary)

@@ -854,13 +854,172 @@ def test_child_agg_parent_changes(spark, tmp_work):
     assert st["wiki"]["sum_n_tok"] == exp_all["wiki"]["sum_n_tok"]
 
 
+def test_child_agg_parent_delete_then_reinsert(spark, tmp_work):
+    """A parent re-inserted AFTER a parent delete must come back, seeded
+    from the child table (ADVICE r05 medium: the old floor stamp was built
+    from tombstone-FILTERED rows, so the re-insert stamped ZERO_LSN~g, lost
+    the merge fence to the tombstone's higher stamp, and silently vanished
+    until compaction)."""
+    spec = CdcLogSpec(n_events=1500, seed=89, events_per_file=500)
+    base, log_dir, table, view, _ = _child_agg_setup(spark, tmp_work, spec)
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+    exp_all = _expected_child_agg(base, log_dir)
+
+    view.apply_parent_changes(spark.createDataFrame(
+        [("web", None, None, "D", "000000000001")],
+        "source string, src_kind string, src_weight_e2 int, "
+        "op string, lsn string"), batch_id="p-del")
+    assert "web" not in _child_agg_state(view)
+
+    # re-insert in a LATER parent batch — must beat the tombstone's fence
+    view.apply_parent_changes(spark.createDataFrame(
+        [("web", "crawl-v3", 60, "U", "000000000002")],
+        "source string, src_kind string, src_weight_e2 int, "
+        "op string, lsn string"), batch_id="p-reins")
+    st = _child_agg_state(view)
+    assert "web" in st, "re-inserted parent silently dropped (fence bug)"
+    assert st["web"]["src_kind"] == "crawl-v3"
+    # aggregates re-seeded from the child table, not zeroed or stale
+    assert st["web"]["n_child"] == exp_all["web"]["n_child"]
+    assert st["web"]["sum_n_tok"] == exp_all["web"]["sum_n_tok"]
+
+
+def test_child_agg_parent_seed_prunes_child_buckets(spark, tmp_work,
+                                                    monkeypatch):
+    """New-parent seeding reads O(affected fk buckets) of the child, not a
+    full child scan (VERDICT r04 next #6): after the fk posting table is
+    maintained through the replay, a parent-insert batch's child read
+    touches a strict subset of the child's buckets, and the seeded
+    aggregates still match the recompute."""
+    from canal_spark.views import (ChildAggView, _ensure_on_postings,
+                                   _postings_as_dict)
+
+    three = PARENT_ROWS[:3]
+    spec = CdcLogSpec(n_events=600, seed=90, events_per_file=300)
+    # 64 child buckets over ~30 docs/source so an fk value's postings are a
+    # strict bucket subset (the default 8-bucket fixture saturates)
+    base = generate_base_table(150, seed=90)
+    log_dir = os.path.join(tmp_work, "log")
+    generate_cdc_log(log_dir, spec, base)
+    bdf = spark.createDataFrame(base.to_pandas(), TOKSEQ_SCHEMA)
+    table = LakeTable.create(spark, os.path.join(tmp_work, "tokseq"),
+                             TOKSEQ_SCHEMA, n_buckets=64, df=bdf)
+    pdf = spark.createDataFrame(three, PARENT_DDL)
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "child_agg"),
+                          CHILD_AGG_SCHEMA, key_col="source", n_buckets=4)
+    view = ChildAggView(vt, table, "source", ("n_tok",))
+    vt.overwrite(view.seed_frame(pdf, bdf), batch_id="seed")
+    # bootstrap the fk postings BEFORE the replay; per-batch extensions in
+    # ChildAggView.apply keep it current across every merge of the log
+    _ensure_on_postings(table, "source")
+    replay(spark, log_dir, table, batch_id="full", views=[view])
+    exp_all = _expected_child_agg(base, log_dir)
+    fk_map = _postings_as_dict(table.refresh(), "source")
+    assert fk_map is not None, "fk postings went stale across the replay"
+    wiki_buckets = set(fk_map.get("wiki", []))
+    assert 0 < len(wiki_buckets) < table.n_buckets
+
+    calls = []
+    orig = LakeTable.read_raw
+
+    def spy(self, buckets=None, **kw):
+        if self.path == table.path:
+            calls.append(buckets)
+        return orig(self, buckets=buckets, **kw)
+
+    monkeypatch.setattr(LakeTable, "read_raw", spy)
+    view.apply_parent_changes(spark.createDataFrame(
+        [("wiki", "curated", 100, "U", "000000000009")],
+        "source string, src_kind string, src_weight_e2 int, "
+        "op string, lsn string"), batch_id="p-new")
+    monkeypatch.setattr(LakeTable, "read_raw", orig)
+
+    assert calls and all(b is not None for b in calls), \
+        "seed fell back to a FULL child scan (stale/absent fk postings)"
+    child_reads = [set(b) for b in calls]
+    assert all(b <= wiki_buckets for b in child_reads), \
+        f"child seed read {child_reads}, postings said {wiki_buckets}"
+    st = _child_agg_state(view)
+    assert st["wiki"]["n_child"] == exp_all["wiki"]["n_child"]
+    assert st["wiki"]["sum_n_tok"] == exp_all["wiki"]["sum_n_tok"]
+
+
+def test_postings_high_cardinality_domain(spark, tmp_work):
+    """Driver-memory O(1) in the join-key domain (VERDICT r04 wrong #3):
+    a 10^5-distinct-value join column bootstraps the posting table as a
+    DISTRIBUTED parquet side table (executors write it; the engine lookup
+    collects only bucket ids), and a 3-key dim refresh still reads only
+    the touched buckets and lands the right values."""
+    from canal_spark.views import JoinedView, _postings_buckets
+
+    n = 100_000
+    vschema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("grp_label", T.StringType()),
+    ])
+    rows = spark.range(n).select(
+        F.format_string("d%06d", F.col("id")).alias("doc_id"),
+        F.format_string("g%06d", F.col("id")).alias("grp"),
+        F.lit(None).cast("string").alias("grp_label"))
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "hc"), vschema,
+                          key_col="doc_id", n_buckets=16, df=rows)
+    probe = ["g000007", "g055555", "g099999"]
+    dim = spark.createDataFrame([(g, f"L-{g}") for g in probe],
+                                "grp string, grp_label string")
+    view = JoinedView(vt, dim, on="grp")
+    keys = spark.createDataFrame([(g,) for g in probe], "grp string")
+    bks = _postings_buckets(vt, "grp", keys)
+    # only bucket IDS reach the driver — bounded by n_buckets, not domain
+    assert 0 < len(bks) <= min(len(probe), vt.n_buckets)
+    view.apply_dim_changes(dim, changed_keys=keys, batch_id="d1")
+    got = {r["grp"]: r["grp_label"]
+           for r in vt.refresh().read().where(
+               F.col("grp").isin(probe)).collect()}
+    assert got == {g: f"L-{g}" for g in probe}
+    # untouched rows stayed NULL
+    assert vt.read().where(F.col("grp_label").isNotNull()).count() == 3
+
+
+def test_postings_invalidated_by_overwrite(spark, tmp_work):
+    """A view-table overwrite/re-seed after bootstrap must NOT serve the
+    pre-seed posting map (ADVICE r04 #2: under-listed buckets silently
+    skip live rows on dim refresh) — overwrite deletes the side table and
+    the next lookup rebuilds from the new population."""
+    from canal_spark.views import JoinedView, _ensure_on_postings
+
+    vschema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("grp_label", T.StringType()),
+    ])
+    rows = [(f"d{i:03d}", "gA", None) for i in range(10)]
+    vt = LakeTable.create(spark, os.path.join(tmp_work, "ow"), vschema,
+                          key_col="doc_id", n_buckets=8,
+                          df=spark.createDataFrame(rows, vschema))
+    _ensure_on_postings(vt, "grp")
+    # re-seed with DIFFERENT keys under the same grp — the old map's gA
+    # buckets are those of d0xx keys, the new population lives elsewhere
+    rows2 = [(f"x{i:03d}-long-key", "gA", None) for i in range(10)]
+    vt.overwrite(spark.createDataFrame(rows2, vschema), batch_id="reseed")
+    dim = spark.createDataFrame([("gA", "NEW")],
+                                "grp string, grp_label string")
+    view = JoinedView(vt.refresh(), dim, on="grp")
+    view.apply_dim_changes(dim, batch_id="d1")
+    st = vt.refresh().read().collect()
+    assert len(st) == 10
+    assert all(r["grp_label"] == "NEW" for r in st), \
+        "stale posting map under-listed buckets after overwrite"
+
+
 def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
     """apply_dim_changes must prune FILES, not just rows (VERDICT r03
     wrong #4): with a bucket-sparse (high-cardinality) join column, the
     posting map narrows the view read to the buckets actually holding rows
     of the changed dim key. Asserted by spying read_raw's buckets arg, plus
     per-batch posting maintenance and correctness of the refresh."""
-    from canal_spark.views import JoinedView, _ensure_on_postings
+    from canal_spark.views import (JoinedView, _ensure_on_postings,
+                                   _postings_as_dict)
 
     n_buckets = 16
     vschema = T.StructType([
@@ -879,7 +1038,8 @@ def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
         "grp string, grp_label string")
     view = JoinedView(vt, dim, on="grp")
 
-    postings = _ensure_on_postings(vt, "grp")
+    _ensure_on_postings(vt, "grp")
+    postings = _postings_as_dict(vt, "grp")
     assert set(postings) == {f"g{g:03d}" for g in range(40)}
     assert 0 < len(postings["g007"]) <= 3 < n_buckets
 
@@ -909,14 +1069,14 @@ def test_joined_view_dim_refresh_prunes_buckets(spark, tmp_work, monkeypatch):
     assert all(v is None for k, v in st.items() if not k.startswith("d007"))
 
     # per-batch maintenance: an upsert landing a known grp in a NEW bucket
-    # extends that grp's postings
-    from canal_spark.views import _load_postings
-    before = set(_load_postings(vt.refresh(), "grp")["g007"])
+    # extends that grp's postings (an O(batch) parquet APPEND — the map is
+    # a distributed side table, never a driver dict: VERDICT r04 wrong #3)
+    before = set(_postings_as_dict(vt.refresh(), "grp")["g007"])
     chg = spark.createDataFrame(
         [(f"dnew-{i}", "g007", "U", f"lsn-{i:04d}") for i in range(40)],
         "doc_id string, grp string, op string, lsn string")
     view.apply(chg, batch_id="b1")
-    after = set(_load_postings(vt.refresh(), "grp")["g007"])
+    after = set(_postings_as_dict(vt.refresh(), "grp")["g007"])
     assert before < after
 
     # a changed key with NO view rows refreshes nothing (no scan at all)
@@ -1030,8 +1190,8 @@ def test_multi_joined_view_dim_refresh_either_dim(spark, tmp_work):
         _expected_mj(base, log_dir, dim_rows=new1, band_rows=new2), MJ_COLS)
     # the n_tok posting map was bootstrapped by the refresh and is
     # bucket-sparse (each n_tok value's docs land in a few buckets)
-    from canal_spark.views import _load_postings
-    postings = _load_postings(view.table.refresh(), "n_tok")
+    from canal_spark.views import _postings_as_dict
+    postings = _postings_as_dict(view.table.refresh(), "n_tok")
     nb = view.table.n_buckets
     assert postings and all(0 < len(v) <= nb for v in postings.values())
     # a changed key with no view rows skips the scan entirely (the
